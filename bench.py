@@ -1,0 +1,146 @@
+"""Headline benchmark: 7-DOF arm simulate + identify end-to-end on TPU.
+
+Mirrors BASELINE.json's metric ("Regressor rows/sec + identify
+wall-clock (KUKA LWR4); torque-RMSE parity"): generate an excitation
+trajectory, simulate torque measurements with the known model, run the
+full identification pipeline (batched regressor -> base projection ->
+OLS -> std recovery) and report wall-clock + parity.
+
+North-star: < 1 s end-to-end on a single v5e chip (BASELINE.md). The
+reference has no published throughput numbers; vs_baseline is reported
+against the 1 s north-star target (value > 1 means faster than the
+target).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+
+def build_samples(urdf, n=2000, freq=200.0):
+    """Well-excited random-state samples within joint limits (the same
+    context as the reference's CI acceptance test,
+    tests/test_identification.py:163: 2000 random states). A smooth
+    under-excited trajectory leaves structural base directions
+    unobserved (cond(YBase) ~ 1e9 measured here) — producing exciting
+    trajectories is the job of the trajectory optimizer stage."""
+    from flobaroid_tpu.models.urdf import load_urdf
+
+    tree = load_urdf(urdf)
+    nd = tree.num_dofs
+    lims = tree.joint_limits()
+    lo = np.array([lims[j]["lower"] for j in tree.dof_names])
+    hi = np.array([lims[j]["upper"] for j in tree.dof_names])
+    vl = np.array([min(lims[j]["velocity"], 10.0) for j in tree.dof_names])
+    t = np.arange(n) / freq
+    rng = np.random.default_rng(42)
+    Q = lo + (hi - lo) * rng.random((n, nd))
+    V = (rng.random((n, nd)) - 0.5) * 2 * vl
+    A = (rng.random((n, nd)) - 0.5) * 2 * np.pi
+    return {
+        "positions": Q,
+        "velocities": V,
+        "accelerations": A,
+        "torques": np.zeros((n, nd)),
+        "times": t,
+        "frequency": np.array(freq),
+    }
+
+
+def run_pipeline(idf, samples):
+    """One production identification pass: data ingest + batched
+    regressor/simulation on device + projections + OLS + std recovery."""
+    idf.data.init_from_data(dict(samples))
+    idf.estimateParameters()
+    return idf
+
+
+def main():
+    import jax
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    src_urdf = os.path.join(here, "examples", "models", "sevenlink_arm.urdf")
+    tmpdir = tempfile.mkdtemp(prefix="flobaroid_bench_")
+    urdf = os.path.join(tmpdir, "sevenlink_arm.urdf")
+    shutil.copy(src_urdf, urdf)
+
+    from flobaroid_tpu.utils.config import load_config
+
+    n_samples = 2000
+    opt = load_config(
+        None,
+        overrides=dict(
+            floatingBase=0,
+            simulateTorques=1,
+            useStructuralRegressor=1,
+            randomSamples=2000,
+            estimateWith="std",
+            verbose=0,
+        ),
+    )
+    samples = build_samples(urdf, n=n_samples)
+
+    from flobaroid_tpu.identification.identifier import Identification
+
+    idf = Identification(dict(opt), urdf)
+    # warmup (compile everything; cache structural regressor QR)
+    run_pipeline(idf, samples)
+
+    # timed end-to-end production pass: simulate torques on device +
+    # batched regressor + base projection + OLS + std recovery
+    t0 = time.time()
+    run_pipeline(idf, samples)
+    wall = time.time() - t0
+
+    # parity metrics
+    res_error = float(idf.res_error)  # torque residual (%)
+    xb_err = float(
+        np.linalg.norm(idf.model.xBase - idf.model.xBaseModel)
+        / np.linalg.norm(idf.model.xBaseModel)
+    )
+
+    # steady-state regressor throughput on device
+    import jax.numpy as jnp
+
+    eng = idf.model.engine
+    regr = jax.jit(eng.regressor_batch)
+    Q = jnp.asarray(samples["positions"], dtype=jnp.float32)
+    V = jnp.asarray(samples["velocities"], dtype=jnp.float32)
+    A = jnp.asarray(samples["accelerations"], dtype=jnp.float32)
+    regr(Q, V, A).block_until_ready()
+    t0 = time.time()
+    reps = 20
+    for _ in range(reps):
+        Y = regr(Q, V, A)
+    Y.block_until_ready()
+    rows_per_sec = reps * n_samples * eng.num_dofs / (time.time() - t0)
+
+    ok = res_error < 1.0 and xb_err < 0.05
+    result = {
+        "metric": "sevenlink_simulate_identify_wallclock",
+        "value": round(wall, 4),
+        "unit": "s",
+        "vs_baseline": round(1.0 / wall, 3),  # north-star 1 s / measured
+        "details": {
+            "device": str(jax.devices()[0]),
+            "regressor_rows_per_sec": int(rows_per_sec),
+            "torque_residual_pct": round(res_error, 5),
+            "base_param_rel_err": round(xb_err, 6),
+            "parity_ok": bool(ok),
+            "n_samples": n_samples,
+        },
+    }
+    print(json.dumps(result))
+    shutil.rmtree(tmpdir, ignore_errors=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

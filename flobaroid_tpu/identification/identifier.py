@@ -1,0 +1,502 @@
+"""Identification pipeline orchestration.
+
+Counterpart of the reference's `Identification` class (identifier.py:41)
+wiring Model, Data, least-squares / SDP estimation, friction refit and
+validation. The regressor work runs batched on device (Model); the
+estimation-flow control (rank decisions, essential-parameter loop,
+solver fallbacks) runs on host between jitted stages.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import scipy.linalg as sla
+
+from ..data import Data
+from ..model import Model
+from ..utils import helpers
+from . import least_squares as ls
+
+
+class Identification:
+    def __init__(
+        self,
+        opt: dict[str, Any],
+        urdf_file: str,
+        urdf_file_real: str | None = None,
+        measurements_files=None,
+        regressor_file: str | None = None,
+        validation_file: str | None = None,
+    ):
+        self.opt = opt
+        # hidden experiment flags (reference identifier.py:55-69) — only
+        # force them when the caller has not set them explicitly
+        opt.setdefault("useBasisProjection", 0)
+        opt.setdefault("orthogonalizeBasis", 1)
+        opt.setdefault("useRegressorRegularization", 1)
+        opt.setdefault("regularizationFactor", 1000.0)
+        opt.setdefault("deleteFixedBase", 1)
+
+        self.model = Model(opt, urdf_file, regressor_file)
+
+        # expand dontChangeLinks to parameter indices (reference identifier.py:76-90)
+        dcl = opt.get("dontChangeLinks", [])
+        if dcl:
+            existing = set(opt.get("dontChangeParams", []))
+            for link_name in dcl:
+                if link_name in self.model.linkNames:
+                    li = self.model.linkNames.index(link_name)
+                    existing.update(range(li * 10, li * 10 + 10))
+            opt["dontChangeParams"] = sorted(existing)
+
+        self.data = Data(opt)
+        if measurements_files:
+            self.data.init_from_files(measurements_files)
+
+        self.urdf_file_real = urdf_file_real
+        self.xStdReal: np.ndarray | None = None
+        if urdf_file_real:
+            from ..models.urdf import load_urdf
+
+            tree_real = load_urdf(urdf_file_real, joint_order=self.model.jointNames)
+            self.xStdReal = np.concatenate(
+                [
+                    tree_real.std_params(),
+                    np.zeros(self.model.num_all_params - self.model.num_model_params),
+                ]
+            )
+            if opt["identifyFrictionSimultaneously"]:
+                self.model._add_friction_from_urdf(self.xStdReal, tree_real)
+
+        self.validation_file = validation_file
+        self.tauEstimated: np.ndarray | None = None
+        self.tauAPriori: np.ndarray | None = None
+        self.p_sigma_x: np.ndarray | None = None
+        self.res_error = 100.0
+
+        self.sdp = None
+        if opt.get("constrainToConsistent"):
+            from .sdp import SDP
+
+            self.sdp = SDP(self)
+
+    # ------------------------------------------------------------------
+    def estimateRegressorTorques(self, estimateWith: str | None = None) -> None:
+        """tau_hat = Y x (+ contacts + separate friction); reference
+        identifier.py:127-240."""
+        opt = self.opt
+        m = self.model
+        if not estimateWith:
+            estimateWith = opt["estimateWith"]
+        if estimateWith == "urdf":
+            tauEst = m.YStd @ m.xStdModel[m.identified_params]
+        elif estimateWith == "base_essential":
+            tauEst = m.YBase @ self.xBase_essential
+        elif estimateWith == "base":
+            tauEst = m.YBase @ m.xBase
+        elif estimateWith in ("std", "std_direct"):
+            tauEst = m.YStd @ m.xStd
+        else:
+            raise ValueError(f"unknown estimateWith: {estimateWith}")
+
+        tauEst = tauEst + m.contactForcesSum
+
+        fb = m.fb
+        if not opt["identifyFrictionSimultaneously"]:
+            N = self.data.num_used_samples
+            skip = int(opt["skipSamples"]) + 1
+            idx = np.arange(N) * skip
+            vel = np.asarray(self.data.samples["velocities"])[idx, : m.num_dofs]
+            sign = helpers.get_friction_sign_series(self.data.samples, opt)[idx, : m.num_dofs]
+            fric = None
+            if estimateWith in ("std", "std_direct") and hasattr(self, "postid_friction"):
+                fric = self.postid_friction
+            elif estimateWith == "urdf":
+                fric = {
+                    "Fc": np.array(
+                        [
+                            m.tree.joints[m.tree.dof_joint_ids[j]].friction
+                            for j in range(m.num_dofs)
+                        ]
+                    ),
+                    "Fv": np.array(
+                        [
+                            m.tree.joints[m.tree.dof_joint_ids[j]].damping
+                            for j in range(m.num_dofs)
+                        ]
+                    ),
+                    "off": np.zeros(m.num_dofs),
+                }
+            if fric is not None:
+                t2 = tauEst.reshape(N, m.num_dofs + fb)
+                t2[:, fb:] += fric["Fc"] * sign + fric["Fv"] * vel + fric["off"]
+                tauEst = t2.reshape(-1)
+
+        self.tauEstimated = tauEst.reshape(self.data.num_used_samples, m.num_dofs + fb)
+        if estimateWith == "urdf":
+            self.tauAPriori = self.tauEstimated
+
+    def getStdDevForParams(self) -> np.ndarray:
+        """Relative stddev per base parameter (Zak 1994; reference
+        identifier.py:343-370)."""
+        m = self.model
+        if self.opt["useAPriori"]:
+            tauDiff = m.tauMeasured - self.tauEstimated
+        else:
+            tauDiff = self.tauEstimated
+        return self._stddev(tauDiff)
+
+    def _stddev(self, tauDiff) -> np.ndarray:
+        m = self.model
+        r = self.data.num_used_samples * (m.num_dofs + m.fb)
+        rho = float(np.square(np.linalg.norm(tauDiff)))
+        sigma_rho = rho / max(r - m.num_base_params, 1)
+        C_xx = sigma_rho * np.linalg.pinv(m.YBase.T @ m.YBase)
+        p = np.sqrt(np.abs(np.diag(C_xx)))
+        nz = m.xBase != 0
+        p[nz] = p[nz] / np.abs(m.xBase[nz])
+        return p
+
+    # ------------------------------------------------------------------
+    def identifyBaseParameters(self, YBase=None, tau=None, id_only=False) -> None:
+        """OLS then optional WLS re-solve (reference identifier.py:683-790)."""
+        opt = self.opt
+        m = self.model
+        if YBase is None:
+            YBase = m.YBase
+        if tau is None:
+            tau = m.tau
+
+        if opt["useBasisProjection"]:
+            m.xBaseModel = m.xStdModel[m.identified_params] @ m.B
+        else:
+            m.xBaseModel = m.K @ m.xStdModel[m.identified_params]
+        if self.xStdReal is not None:
+            if opt["useBasisProjection"]:
+                self.xBaseReal = m.Binv @ self.xStdReal[m.identified_params]
+            else:
+                self.xBaseReal = m.K @ self.xStdReal[m.identified_params]
+
+        m.xBase = np.linalg.lstsq(YBase, tau, rcond=None)[0]
+        cf = getattr(self, "_bw_contactForcesSum", m.contactForcesSum)
+        if cf is not None and cf.shape[0] != YBase.shape[0]:
+            cf = m.contactForcesSum
+        if cf is not None and np.any(cf):
+            m.xBase -= np.linalg.pinv(YBase) @ cf
+
+        if id_only:
+            return
+
+        if opt["useWLS"]:
+            # IDIM-WLS (Zak 1994 / Gautier 1997): weight each output
+            # channel (joint / wrench axis) by the inverse stddev of its
+            # OLS residual, then re-solve. The reference's current code
+            # recycles per-parameter sigmas into the row diagonal and
+            # weights only one side of the equation
+            # (identifier.py:776-790); here the per-channel residual
+            # noise weights BOTH sides, which is the estimator the cited
+            # papers describe.
+            self.estimateRegressorTorques("base")
+            self.p_sigma_x = self.getStdDevForParams()
+            res = (m.tauMeasured - self.tauEstimated).reshape(
+                self.data.num_used_samples, m.num_dofs + m.fb
+            )
+            sigma_ch = np.sqrt(np.mean(res**2, axis=0))
+            w_ch = 1.0 / np.maximum(sigma_ch, 1e-12)
+            W = np.tile(w_ch, self.data.num_used_samples)
+            m.YBase = m.YBase * W[:, None]
+            m.tau = m.tau * W
+            self.identifyBaseParameters(m.YBase, m.tau, id_only=True)
+
+    def _extractBaseWrenchRows(self):
+        """Ayusawa base-wrench-only equations + optional per-file inverse
+        noise weighting (reference identifier.py:617-681)."""
+        m = self.model
+        nd, fb = m.num_dofs, 6
+        block = nd + fb
+        N = self.data.num_used_samples
+        rows = np.concatenate([np.arange(i * block, i * block + fb) for i in range(N)])
+        YStd_bw = m.YStd[rows, :]
+        YBase_bw = YStd_bw @ (m.B if self.opt["useBasisProjection"] else m.Pb)
+        tau_bw = (m.tau if self.opt["useAPriori"] else m.torques_stack)[rows]
+        self._bw_contactForcesSum = m.contactForcesSum[rows]
+
+        fbnd = getattr(self.data, "file_boundaries", [0])
+        if self.opt.get("useTrajectoryWeighting", 0) and len(fbnd) > 2:
+            skip = int(self.opt["skipSamples"]) + 1
+            x_pre = np.linalg.lstsq(YBase_bw, tau_bw, rcond=None)[0]
+            res2d = (tau_bw - YBase_bw @ x_pre).reshape(N, fb)
+            loaded_idx = np.arange(N) * skip
+            file_idx = np.searchsorted(fbnd, loaded_idx, side="right") - 1
+            n_files = len(fbnd) - 1
+            sigma = np.ones((n_files, fb))
+            for k in range(n_files):
+                msk = file_idx == k
+                if np.count_nonzero(msk) > fb:
+                    sigma[k] = np.sqrt(np.mean(res2d[msk] ** 2, axis=0))
+            wts = np.mean(sigma) / np.maximum(sigma, 1e-12)
+            rw = wts[file_idx].reshape(-1)
+            YBase_bw = YBase_bw * rw[:, None]
+            tau_bw = tau_bw * rw
+            self._bw_contactForcesSum = self._bw_contactForcesSum * rw
+        return YBase_bw, tau_bw
+
+    def getBaseParamsFromParamError(self) -> None:
+        self.model.xBase += self.model.xBaseModel
+        if self.opt["useEssentialParams"] and hasattr(self, "xBase_essential"):
+            self.xBase_essential[self.baseEssentialIdx] += self.model.xBaseModel[
+                self.baseEssentialIdx
+            ]
+
+    def findStdFromBaseParameters(self) -> None:
+        self.model.xStd = ls.std_from_base(self.model, self.model.xBase)
+
+    # ------------------------------------------------------------------
+    # essential parameters (Pham 1991 / Gautier 2013)
+    # ------------------------------------------------------------------
+    def findBaseEssentialParameters(self) -> None:
+        """Iteratively drop the base param with largest relative stddev
+        until max/min stddev ratio < 30 (reference identifier.py:372-529)."""
+        m = self.model
+        xBase_orig = m.xBase.copy()
+        YBase_orig = m.YBase.copy()
+        base_idx = list(range(m.num_base_params))
+        not_essential: list[int] = []
+        prev_sigma = None
+        prev_xBase = m.xBase.copy()
+        while True:
+            self.estimateRegressorTorques("base")
+            p_sigma = self.getStdDevForParams()
+            ratio = np.max(p_sigma) / max(np.min(p_sigma), 1e-300)
+            if ratio < 30 or len(base_idx) <= 2:
+                break
+            prev_sigma = p_sigma
+            k = int(np.argmax(p_sigma))
+            not_essential.append(base_idx[k])
+            prev_xBase = m.xBase.copy()
+            m.xBase = np.delete(m.xBase, k, 0)
+            del base_idx[k]
+            m.YBase = np.delete(m.YBase, k, 1)
+            self.identifyBaseParameters(id_only=True)
+        if not_essential:
+            # the last deleted parameter brought the ratio under the
+            # threshold; keep it (reference identifier.py:512)
+            not_essential.pop()
+        self.p_sigma_x = prev_sigma if prev_sigma is not None else self.getStdDevForParams()
+        self.baseNonEssentialIdx = not_essential
+        self.baseEssentialIdx = [x for x in range(m.num_base_params) if x not in not_essential]
+        self.num_essential_params = len(self.baseEssentialIdx)
+        # prev_xBase was saved just before the last deletion, so it lines
+        # up with baseEssentialIdx by construction
+        self.xBase_essential = np.zeros(m.num_base_params)
+        self.xBase_essential[self.baseEssentialIdx] = prev_xBase
+        m.YBase = YBase_orig
+        m.xBase = xBase_orig
+
+    def findStdFromBaseEssParameters(self) -> None:
+        """Map essential base -> essential std columns (reference
+        identifier.py:531-615)."""
+        m = self.model
+        self.stdEssentialIdx = np.asarray(m.independent_cols)[self.baseEssentialIdx]
+        if self.opt["useDependents"]:
+            deps: list[int] = []
+            for i in self.baseEssentialIdx:
+                for ci in np.nonzero(np.abs(m.K[i]) > float(self.opt["minTol"]))[0]:
+                    if ci not in deps:
+                        deps.append(int(ci))
+            self.stdEssentialIdx = np.unique(
+                np.concatenate((self.stdEssentialIdx, np.asarray(deps, dtype=int)))
+            )
+        self.stdNonEssentialIdx = [
+            x for x in range(m.num_identified_params) if x not in set(self.stdEssentialIdx.tolist())
+        ]
+        self.xStdEssential = np.zeros(m.num_identified_params)
+        if self.opt["useDependents"]:
+            xw = m.xStdModel[m.identified_params].copy()
+            xw[xw == 0] = 0.1
+            self.xStdEssential = xw
+            self.xStdEssential[self.stdNonEssentialIdx] = 0
+        else:
+            take = self.xBase_essential[self.baseEssentialIdx][: len(self.stdEssentialIdx)]
+            self.xStdEssential[self.stdEssentialIdx[: len(take)]] = take
+
+    def identifyStandardEssentialParameters(self) -> None:
+        m = self.model
+        x_id = m.xStdModel[m.identified_params] if self.opt["useAPriori"] else None
+        m.xStd = ls.std_essential(
+            m.YStd, m.tau, self.xStdEssential, self.num_essential_params, x_id
+        )
+
+    def identifyStandardParametersDirect(self) -> None:
+        m = self.model
+        x_id = m.xStdModel[m.identified_params] if self.opt["useAPriori"] else None
+        m.xStd = ls.std_direct(m.YStd, m.tau, m.num_base_params, x_id)
+
+    # ------------------------------------------------------------------
+    def _postIdentifyFriction(self) -> None:
+        """Two-step friction refit from the inertial residual (reference
+        identifier.py:979-1168): per-joint OLS of residual on
+        [sign, v, 1], Swevers dead zone, Fv Tikhonov prior, Fv>=0 clamp,
+        write-back into xStd friction slots when the layout permits."""
+        opt = self.opt
+        m = self.model
+        nd, fb = m.num_dofs, m.fb
+        N = self.data.num_used_samples
+        skip = int(opt["skipSamples"]) + 1
+        idx = np.arange(N) * skip
+
+        num_inertial = min(m.num_model_params, m.YStd.shape[1])
+        tau_inertial = m.YStd[:, :num_inertial] @ m.xStd[:num_inertial]
+        residual2d = (m.torques_stack - tau_inertial).reshape(N, nd + fb)
+
+        vel = np.asarray(self.data.samples["velocities"])[idx, :nd]
+        vsig = helpers.get_friction_sign_velocities(self.data.samples, opt)[idx, :nd]
+        sign = helpers.get_friction_sign_series(self.data.samples, opt)[idx, :nd]
+
+        deadzone = float(opt.get("frictionSwerversDeadZone", 0.0) or opt.get("frictionVelocityDeadZone", 0.0))
+        keep_masks = []
+        fv_energy = np.zeros(nd)
+        for j in range(nd):
+            if deadzone > 0:
+                keep = np.abs(vsig[:, j]) >= deadzone
+                if np.count_nonzero(keep) < 30 or not (vsig[keep, j] > 0).any() or not (vsig[keep, j] < 0).any():
+                    keep = np.ones(N, dtype=bool)
+            else:
+                keep = np.ones(N, dtype=bool)
+            keep_masks.append(keep)
+            fv_energy[j] = float(np.sum(vel[keep, j] ** 2))
+
+        alpha = float(opt.get("frictionFvRegularizationRelative", 0.0))
+        lam = alpha * float(np.median(fv_energy)) if alpha > 0 else float(opt.get("frictionFvRegularization", 0.0))
+        fv_ap = np.array([m.tree.joints[m.tree.dof_joint_ids[j]].damping for j in range(nd)])
+
+        self.postid_friction = {"Fc": np.zeros(nd), "Fv": np.zeros(nd), "off": np.zeros(nd)}
+        for j in range(nd):
+            keep = keep_masks[j]
+            A = np.column_stack([sign[keep, j], vel[keep, j], np.ones(np.count_nonzero(keep))])
+            b = residual2d[keep, fb + j]
+            if lam > 0:
+                w = np.sqrt(lam)
+                A = np.vstack((A, [0.0, w, 0.0]))
+                b = np.append(b, w * fv_ap[j])
+            fc, fv, off = np.linalg.lstsq(A, b, rcond=None)[0]
+            self.postid_friction["Fc"][j] = fc
+            self.postid_friction["Fv"][j] = max(fv, 0.0)
+            self.postid_friction["off"][j] = off
+
+        if (
+            opt.get("identifyFrictionSimultaneously", False)
+            and opt["identifySymmetricVelFriction"]
+            and opt.get("stribeckVelocity", 0) == 0
+            and len(m.xStd) == m.num_all_params
+        ):
+            fs = m.friction_params_start
+            m.xStd[fs : fs + nd] = self.postid_friction["Fc"]
+            m.xStd[fs + nd : fs + 2 * nd] = self.postid_friction["Fv"]
+            m.xStd[fs + 2 * nd : fs + 3 * nd] = self.postid_friction["off"]
+
+    # ------------------------------------------------------------------
+    def estimateParameters(self) -> None:
+        """Full estimation flow (reference identifier.py:857-977)."""
+        opt = self.opt
+        m = self.model
+        if self.data.num_used_samples <= m.num_identified_params * 2 and not opt.get(
+            "selectingBlocks", 0
+        ):
+            raise ValueError(
+                f"not enough samples for identification "
+                f"({self.data.num_used_samples} <= 2*{m.num_identified_params})"
+            )
+
+        m.computeRegressors(self.data)
+
+        if opt["useEssentialParams"]:
+            self.identifyBaseParameters()
+            self.findBaseEssentialParameters()
+            if opt["useAPriori"]:
+                self.getBaseParamsFromParamError()
+            self.findStdFromBaseEssParameters()
+            self.identifyStandardEssentialParameters()
+        else:
+            if opt["floatingBase"] and opt.get("useBaseWrenchForBaseParams", 0):
+                YBase_bw, tau_bw = self._extractBaseWrenchRows()
+                self.identifyBaseParameters(YBase_bw, tau_bw)
+            else:
+                self.identifyBaseParameters()
+
+            if opt["constrainToConsistent"] and self.sdp is not None:
+                if opt["useAPriori"]:
+                    self.getBaseParamsFromParamError()
+                self.sdp.initSDP_LMIs(self)
+                if opt["identifyClosestToCAD"]:
+                    self.sdp.identifyFeasibleStandardParameters(self)
+                    if not np.allclose(m.xStd, m.xStdModel[m.identified_params]):
+                        m.xBase = (
+                            m.Binv @ m.xStd
+                            if opt["useBasisProjection"]
+                            else m.K @ m.xStd
+                        )
+                        self.sdp.findFeasibleStdFromFeasibleBase(self, m.xBase)
+                else:
+                    if opt["estimateWith"] == "std_direct":
+                        self.sdp.identifyFeasibleStandardParametersDirect(self)
+                    else:
+                        self.sdp.identifyFeasibleStandardParameters(self)
+                    m.xBase = (
+                        m.Binv @ m.xStd if opt["useBasisProjection"] else m.K @ m.xStd
+                    )
+            else:
+                if opt["estimateWith"] == "std_direct":
+                    self.identifyStandardParametersDirect()
+                else:
+                    self.findStdFromBaseParameters()
+                    if opt["useAPriori"]:
+                        self.getBaseParamsFromParamError()
+
+        if opt.get("postIdentifyFriction", 0):
+            if opt["floatingBase"] or opt.get("identifyFrictionSimultaneously", 0):
+                self._postIdentifyFriction()
+
+        self.estimateRegressorTorques("urdf")
+        self.estimateRegressorTorques()
+        self.res_error = helpers.relative_error_pct(m.tauMeasured, self.tauEstimated)
+
+    # ------------------------------------------------------------------
+    def estimateValidationTorques(self) -> None:
+        """Predict held-out measurements with the identified params
+        (reference identifier.py:241-320). Uses the engine directly
+        instead of a temp-URDF round trip."""
+        if self.validation_file is None:
+            return
+        with np.load(self.validation_file, allow_pickle=True, encoding="latin1") as f:
+            v = {k: f[k] for k in f.files}
+        m = self.model
+        params = self.model.xStdModel if self.opt["estimateWith"] == "urdf" else self._full_xstd()
+        skip = 8 + 1
+        N = v["positions"].shape[0] // skip
+        idx = np.arange(N) * skip
+        sim = m.simulate_dynamics(v, idx, params)
+        tauM = np.asarray(v["torques"])[idx]
+        if self.opt["floatingBase"] and tauM.shape[1] == m.num_dofs:
+            tauM = np.concatenate((sim[:, :6], tauM), axis=1)
+        self.tauEstimatedValidation = sim
+        self.tauMeasuredValidation = tauM
+        self.Tv = np.asarray(v["times"])[idx]
+        self.val_error = helpers.relative_error_pct(tauM, sim)
+        self.val_residual = float(np.mean(np.linalg.norm(sim - tauM, axis=1)))
+        limits = np.array([m.limits[j]["torque"] for j in m.jointNames])
+        if self.opt["floatingBase"]:
+            limits = np.concatenate([np.full(6, np.nan), limits])
+        self.val_nrms = helpers.nrms_error_pct(tauM, sim, limits)
+
+    def _full_xstd(self) -> np.ndarray:
+        """Expand xStd (identified columns) to the full parameter layout."""
+        m = self.model
+        if len(m.xStd) == m.num_all_params:
+            return np.asarray(m.xStd, dtype=float)
+        full = m.xStdModel.copy()
+        for ci, p in enumerate(m.identified_params):
+            full[p] = m.xStd[ci]
+        return full

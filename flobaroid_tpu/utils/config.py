@@ -1,0 +1,190 @@
+"""YAML configuration, byte-compatible with the reference's config files.
+
+The reference threads one flat mutable dict through every class and
+mixes `.get(key, default)` with hard indexing (reference:
+identifier.py:1499-1505, SURVEY §5). Here the same YAML keys are
+accepted verbatim, but every known key has an explicit default so a
+missing key never KeyErrors (annotated key reference:
+/root/reference/configs/kuka_lwr4.yaml:1-353).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import yaml
+
+# Defaults for every documented key. Values mirror the reference's
+# implicit/explicit defaults (configs/*.yaml and scattered .get calls).
+DEFAULTS: dict[str, Any] = {
+    # ---- trajectory generation / excitation ----
+    "optimizeTrajectory": 1,
+    "useGlobalOptimization": 1,
+    "globalOptIterations": 10,
+    "globalOptSize": 12,
+    "globalSolver": "batch",  # tpu-native batched search (reference: optuna TPE/NSGA2)
+    "useLocalOptimization": 1,
+    "localOptIterations": 10,
+    "localSolver": "lbfgs",  # tpu-native (reference: IPOPT)
+    "minTolConstr": 0.01,
+    "showOptimizationGraph": 0,
+    "showOptimizationTrajs": 0,
+    "showModelVisualization": 0,
+    "transparentLinks": [],
+    "ignoreLinksForCollision": [],
+    "ignoreLinkPairsForCollision": [],
+    "trajectoryPulseInit": 0.5,
+    "trajectoryPulseMin": 0.3,
+    "trajectoryPulseMax": 1.0,
+    "trajectoryCoeffInit": 0.4,
+    "trajectoryCoeffMin": -0.5,
+    "trajectoryCoeffMax": 0.5,
+    "trajectoryTargetVelocity": 0.0,
+    "globalOptAmplitudeRepair": 1,
+    "trajectorySeedSolutions": [],
+    "trajectoryPriorMeasurements": [],
+    "trajectoryCenterFreedom": 25.0,
+    "trajectoryOscillationCenters": {},
+    "trajectoryNf": {},
+    "trajectoryDefaultNf": 4,
+    "ovrPosLimit": {},
+    "minVelocityConstraint": 0,
+    "minVelocityPercentage": 0.1,
+    "minTorqueConstraint": 0,
+    "minTorquePercentage": 0.1,
+    "doptRegularization": 1e-4,
+    "useStaticTrajectories": 0,
+    "numStaticPostures": 5,
+    "scaleCollisionHull": 1.0,
+    "staticPostureTime": 0.02,
+    "initialPostures": [],
+    "exciteMethod": None,
+    "ros_move_group": "",
+    "excitationFrequency": 200.0,
+    "useDeg": 0,
+    # collision
+    "collisionMode": "capsule",
+    "fullMeshLinks": [],
+    "ignoreCollisionGroups": [],
+    "maxKinematicDistance": 0,
+    "worldCollisionMargins": {},
+    # suspended base
+    "floatingBaseAttachmentFrame": "",
+    "suspendedDamping": 5.0,
+    # ---- data preprocessing ----
+    "filterMedianSize": 11,
+    "filterLowPass1": [8.0, 5],
+    "filterLowPass2": [6.0, 5],
+    "filterLowPass3": [3.0, 4],
+    "startOffset": 0,
+    "skipSamples": 0,
+    "selectBlocksFromMeasurements": 0,
+    "blockSize": 250,
+    "selectBestPerenctage": 50,  # (sic — reference key is misspelled)
+    "removeNearZero": 0,
+    "minVel": 0.01,
+    "waitForZeroAcc": 0,
+    "zeroAccThresh": 0.1,
+    # ---- identification ----
+    "useStructuralRegressor": 1,
+    "randomSamples": 2000,
+    "minTol": 1e-4,
+    "floatingBase": 0,
+    "identifyFrictionSimultaneously": 0,
+    "identifySymmetricVelFriction": 1,
+    "identifyGravityParamsOnly": 0,
+    "simulateTorques": 0,
+    "useBaseWrenchForBaseParams": 0,
+    "useTrajectoryWeighting": 0,
+    "postIdentifyFriction": 0,
+    "frictionSignThreshold": 0.02,
+    "frictionVelocityCutoff": 25.0,
+    "frictionSwerversDeadZone": 0.0,
+    "frictionFvRegularization": 0.0,
+    "frictionFvRegularizationRelative": 0.0,
+    "stribeckVelocity": 0.0,
+    # SDP
+    "constrainToConsistent": 0,
+    "checkAPrioriFeasibility": 0,
+    "identifyClosestToCAD": 0,
+    "constrainUsingNL": 0,
+    "noChange": 0,
+    "noChangeThresh": 400,
+    "restrictCOMtoHull": 0,
+    "hullScaling": 1.0,
+    "meshBaseDir": "meshes",
+    "cubeSize": 0.5,
+    "limitCOMToApriori": 0,
+    "limitCOMAprioriBoundary": 0.005,
+    "limitOverallMass": 0,
+    "limitMassVal": None,
+    "limitMassRange": 0.5,
+    "limitMassToApriori": 0,
+    "limitMassAprioriBoundary": 0.2,
+    "dontChangeParams": [],
+    "dontChangeLinks": [],
+    "dontConstrain": [],
+    "useSymmetryConstraints": 0,
+    "symmetryTolerance": 0.05,
+    "symmetryPairs": [],
+    "cadRegularizationMode": "uniform",  # 'uniform'|'observability'|'geometric'
+    "SDPSolver": "ipm_jax",
+    "epsilonSDP": 1e-7,
+    # other estimation
+    "useAPriori": 0,
+    "useEssentialParams": 0,
+    "useDependents": 0,
+    "useWLS": 0,
+    "filterRegressor": 0,
+    "filterRegCutoff": 5,
+    "estimateWith": "std",
+    # ---- output / debugging ----
+    "createPlots": 0,
+    "outputModule": "matplotlib",
+    "outputAs": "html",
+    "outputFilename": None,
+    "plotBaseDynamics": 1,
+    "plotPerJoint": 1,
+    "plotPrioriTorques": 1,
+    "plotErrors": 0,
+    "plotLegendAnchor": 1.0,
+    "showRandomRegressor": 0,
+    "showErrorHistogram": 0,
+    "showMemUsage": 0,
+    "showTiming": 0,
+    "showEssentialSteps": 0,
+    "outputBarycentric": 0,
+    "showStandardParams": 1,
+    "showBaseParams": 1,
+    "showBaseEqns": 0,
+    "outputLatex": 0,
+    "showTriangleConsistency": 0,
+    "verbose": 0,
+    # ---- hidden experiment flags (reference identifier.py:55-69) ----
+    "useBasisProjection": 0,
+    "orthogonalizeBasis": 1,
+    "useRegressorRegularization": 1,
+    "regularizationFactor": 1000.0,
+    "deleteFixedBase": 1,
+    # ---- tpu-native execution options (new) ----
+    "devicePlatform": None,  # None = jax default; 'cpu' to force host
+    "computeDtype": "float32",  # on-device regressor/Gram dtype
+    "solveDtype": "float64",  # host-side parameter-space linear algebra
+    "gramChunk": 4096,  # samples per on-device Gram accumulation chunk
+    "materializeRegressor": 1,  # keep the stacked YStd (else stream Gram only)
+    "shardSamples": 0,  # shard the sample axis over the device mesh
+}
+
+
+def load_config(path: str | None = None, overrides: dict | None = None) -> dict[str, Any]:
+    """Load a reference-format YAML config, fill defaults, apply overrides."""
+    cfg = dict(DEFAULTS)
+    if path is not None:
+        with open(path) as f:
+            loaded = yaml.safe_load(f) or {}
+        if not isinstance(loaded, dict):
+            raise ValueError(f"config {path} did not parse to a mapping")
+        cfg.update(loaded)
+    if overrides:
+        cfg.update(overrides)
+    return cfg

@@ -1,0 +1,195 @@
+"""Synthetic ground-truth identification tests.
+
+Mirrors the reference's core strategy (tests/test_identification.py):
+generate N random states, compute torques from the KNOWN model (+ noise),
+run the full Identification pipeline, assert parameter recovery and
+torque residual bounds — results, not implementation.
+"""
+
+import shutil
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flobaroid_tpu.data import Data
+from flobaroid_tpu.identification.identifier import Identification
+from flobaroid_tpu.model import Model
+from flobaroid_tpu.utils.config import load_config
+
+
+def synth_samples(tree_path, n=2000, noise=0.05, floating=False, seed=0, fric=None, joint_order=None):
+    """Random-state samples with torques from the URDF ground truth."""
+    from flobaroid_tpu.dynamics.engine import DynamicsEngine, rpy_to_base_rot
+    from flobaroid_tpu.models.urdf import load_urdf
+
+    tree = load_urdf(tree_path, joint_order=joint_order)
+    eng = DynamicsEngine(tree)
+    pi = jnp.asarray(tree.std_params())
+    nd = tree.num_dofs
+    rng = np.random.default_rng(seed)
+    lims = tree.joint_limits()
+    lo = np.array([lims[j]["lower"] for j in tree.dof_names])
+    hi = np.array([lims[j]["upper"] for j in tree.dof_names])
+    vl = np.array([min(lims[j]["velocity"], 10.0) for j in tree.dof_names])
+    lo = np.where(np.isfinite(lo), lo, -np.pi)
+    hi = np.where(np.isfinite(hi), hi, np.pi)
+
+    Q = lo + (hi - lo) * rng.random((n, nd))
+    V = (rng.random((n, nd)) - 0.5) * 2 * vl
+    A = (rng.random((n, nd)) - 0.5) * 2 * np.pi
+
+    samples = {
+        "positions": Q,
+        "velocities": V,
+        "accelerations": A,
+        "times": np.arange(n) / 200.0,
+        "frequency": np.array(200.0),
+    }
+    if floating:
+        rpy = rng.random((n, 3)) * 0.2
+        BR = np.asarray(rpy_to_base_rot(jnp.asarray(rpy)))
+        BV = rng.random((n, 6)) * 1.0
+        BA = rng.random((n, 6)) * 1.0
+        samples["base_rpy"] = rpy
+        samples["base_velocity"] = BV
+        samples["base_acceleration"] = BA
+        tau = jax.vmap(
+            lambda q, dq, ddq, br, bv, ba: eng.inverse_dynamics(pi, q, dq, ddq, br, bv, ba)
+        )(Q, V, A, jnp.asarray(BR), jnp.asarray(BV), jnp.asarray(BA))
+    else:
+        tau = jax.vmap(lambda q, dq, ddq: eng.inverse_dynamics(pi, q, dq, ddq, floating=False))(
+            Q, V, A
+        )
+    tau = np.array(tau)
+    if fric is not None:
+        thresh = 0.02
+        tau[:, 6 if floating else 0 :] += (
+            fric["Fc"] * np.tanh(V / thresh) + fric["Fv"] * V
+        )
+    tau += noise * rng.standard_normal(tau.shape)
+    samples["torques"] = tau
+    return samples, tree
+
+
+@pytest.fixture(scope="module")
+def kuka_tmp(kuka_urdf, tmp_path_factory):
+    # copy so the regressor cache can be written next to the urdf
+    d = tmp_path_factory.mktemp("kuka")
+    p = d / "kuka_lwr4.urdf"
+    shutil.copy(kuka_urdf, p)
+    return str(p)
+
+
+def base_opt(**kw):
+    opt = load_config(None)
+    opt.update(
+        dict(
+            verbose=0,
+            useStructuralRegressor=1,
+            randomSamples=1000,
+            computeDtype="float64",  # CPU tests: full precision
+            estimateWith="std",
+        )
+    )
+    opt.update(kw)
+    return opt
+
+
+def test_ols_identification_kuka(kuka_tmp):
+    """OLS on synthetic KUKA data: <5% base-param error, <1% residual
+    (acceptance thresholds from reference tests/test_identification.py:163-164)."""
+    samples, _ = synth_samples(kuka_tmp, n=2000, noise=0.05)
+    opt = base_opt(floatingBase=0)
+    idf = Identification(opt, kuka_tmp, urdf_file_real=kuka_tmp)
+    idf.data.init_from_data(samples)
+    idf.estimateParameters()
+
+    xBase = idf.model.xBase
+    xBaseModel = idf.model.xBaseModel
+    rel = np.linalg.norm(xBase - xBaseModel) / np.linalg.norm(xBaseModel)
+    assert rel < 0.05, f"relative base param error {rel}"
+    assert idf.res_error < 1.0, f"torque residual {idf.res_error}%"
+
+    # std params: projection must reproduce torques
+    tauEst = idf.tauEstimated
+    tauM = idf.model.tauMeasured
+    assert np.linalg.norm(tauM - tauEst) / np.linalg.norm(tauM) < 0.01
+
+
+def test_ols_identification_floating(threelinks_urdf, tmp_path):
+    p = tmp_path / "threeLinks.urdf"
+    shutil.copy(threelinks_urdf, p)
+    samples, _ = synth_samples(str(p), n=1500, noise=0.02, floating=True, seed=3)
+    opt = base_opt(floatingBase=1)
+    idf = Identification(opt, str(p))
+    idf.data.init_from_data(samples)
+    idf.estimateParameters()
+    rel = np.linalg.norm(idf.model.xBase - idf.model.xBaseModel) / np.linalg.norm(
+        idf.model.xBaseModel
+    )
+    assert rel < 0.05, f"floating base param error {rel}"
+    assert idf.res_error < 2.0
+
+
+def test_wls_identification(kuka_tmp):
+    samples, _ = synth_samples(kuka_tmp, n=1500, noise=0.05, seed=7)
+    opt = base_opt(floatingBase=0, useWLS=1)
+    idf = Identification(opt, kuka_tmp)
+    idf.data.init_from_data(samples)
+    idf.estimateParameters()
+    rel = np.linalg.norm(idf.model.xBase - idf.model.xBaseModel) / np.linalg.norm(
+        idf.model.xBaseModel
+    )
+    assert rel < 0.05
+    assert idf.res_error < 1.0
+
+
+def test_essential_params(kuka_tmp):
+    samples, _ = synth_samples(kuka_tmp, n=1500, noise=0.05, seed=11)
+    opt = base_opt(floatingBase=0, useEssentialParams=1)
+    idf = Identification(opt, kuka_tmp)
+    idf.data.init_from_data(samples)
+    idf.estimateParameters()
+    assert idf.num_essential_params >= 2
+    assert np.all(np.isfinite(idf.model.xStd))
+    assert idf.res_error < 5.0
+
+
+def test_friction_simultaneous(kuka_tmp):
+    fric = {"Fc": np.linspace(0.3, 0.8, 7), "Fv": np.linspace(0.1, 0.4, 7)}
+    samples, _ = synth_samples(kuka_tmp, n=2000, noise=0.03, seed=13, fric=fric)
+    opt = base_opt(
+        floatingBase=0,
+        identifyFrictionSimultaneously=1,
+        identifySymmetricVelFriction=1,
+    )
+    idf = Identification(opt, kuka_tmp)
+    idf.data.init_from_data(samples)
+    idf.estimateParameters()
+    nd = idf.model.num_dofs
+    fs = idf.model.friction_params_start
+    xf = idf._full_xstd()
+    np.testing.assert_allclose(xf[fs : fs + nd], fric["Fc"], atol=0.08)
+    np.testing.assert_allclose(xf[fs + nd : fs + 2 * nd], fric["Fv"], atol=0.08)
+    assert idf.res_error < 1.5
+
+
+def test_base_wrench_two_step(threelinks_urdf, tmp_path):
+    """Ayusawa two-step: base params from wrench rows only, then friction
+    refit from the joint-torque residual."""
+    p = tmp_path / "threeLinks.urdf"
+    shutil.copy(threelinks_urdf, p)
+    fric = {"Fc": np.array([0.4, 0.6]), "Fv": np.array([0.2, 0.3])}
+    samples, _ = synth_samples(str(p), n=2000, noise=0.02, floating=True, seed=17, fric=fric)
+    opt = base_opt(
+        floatingBase=1,
+        useBaseWrenchForBaseParams=1,
+        postIdentifyFriction=1,
+    )
+    idf = Identification(opt, str(p))
+    idf.data.init_from_data(samples)
+    idf.estimateParameters()
+    np.testing.assert_allclose(idf.postid_friction["Fc"], fric["Fc"], atol=0.1)
+    np.testing.assert_allclose(idf.postid_friction["Fv"], fric["Fv"], atol=0.1)

@@ -1,0 +1,69 @@
+"""Pallas Gram kernel (interpret mode) and multi-device sample sharding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flobaroid_tpu.dynamics.engine import DynamicsEngine
+from flobaroid_tpu.models.urdf import load_urdf
+from flobaroid_tpu.ops.gram import gram, gram_augmented, gram_xla
+from flobaroid_tpu.parallel.mesh import make_mesh, shard_batch, sharded_gram_fn
+
+from test_dynamics import SIMPLE_URDF
+
+
+def test_gram_kernel_interpret():
+    rng = np.random.default_rng(0)
+    Y = jnp.asarray(rng.standard_normal((300, 37)), dtype=jnp.float32)
+    G = gram(Y, row_tile=128, interpret=True)
+    G_ref = gram_xla(Y)
+    np.testing.assert_allclose(np.asarray(G), np.asarray(G_ref), rtol=2e-5, atol=1e-4)
+    assert G.shape == (37, 37)
+
+
+def test_gram_augmented():
+    rng = np.random.default_rng(1)
+    Y = jnp.asarray(rng.standard_normal((200, 20)), dtype=jnp.float32)
+    tau = jnp.asarray(rng.standard_normal(200), dtype=jnp.float32)
+    G, g, tt = gram_augmented(Y, tau, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(Y.T @ tau), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(float(tt), float(tau @ tau), rtol=1e-5)
+
+
+def test_sharded_gram_matches_single_device():
+    assert len(jax.devices()) >= 8, "conftest should provide 8 virtual devices"
+    tree = load_urdf(SIMPLE_URDF)
+    eng = DynamicsEngine(tree)
+    mesh = make_mesh(8)
+    N, n = 64, eng.num_dofs
+    rng = np.random.default_rng(3)
+    Q = rng.uniform(-1, 1, (N, n))
+    DQ = rng.standard_normal((N, n))
+    DDQ = rng.standard_normal((N, n))
+    TAU = rng.standard_normal((N, n))
+    fn = sharded_gram_fn(eng, mesh)
+    Qs, DQs, DDQs, TAUs = shard_batch(mesh, Q, DQ, DDQ, TAU)
+    G, g = fn(Qs, DQs, DDQs, TAUs)
+
+    Y = eng.regressor_batch(jnp.asarray(Q), jnp.asarray(DQ), jnp.asarray(DDQ))
+    Yf = np.asarray(Y).reshape(-1, Y.shape[-1])
+    G_ref = Yf.T @ Yf
+    g_ref = Yf.T @ TAU.reshape(-1)
+    np.testing.assert_allclose(np.asarray(G), G_ref, rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(g), g_ref, rtol=1e-8, atol=1e-8)
+
+
+def test_graft_entry_single_chip():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    G, tau = jax.jit(fn)(*args)
+    assert G.shape[0] == G.shape[1]
+    assert np.all(np.isfinite(np.asarray(tau)))
+
+
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
