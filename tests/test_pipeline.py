@@ -1,0 +1,176 @@
+"""Full pipeline integration: trajectory -> simulated measurements
+(with realistic effects + noise) -> preprocessing -> identification.
+
+Mirrors the reference's end-to-end smoke tests (tests/test_identification_fixed.py)
+without relying on checked-in binary data."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import yaml
+
+from flobaroid_tpu.data import Data
+from flobaroid_tpu.identification.identifier import Identification
+from flobaroid_tpu.utils.config import load_config
+
+ARM_URDF = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "examples", "models", "sevenlink_arm.urdf"))
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+
+
+def multisine_trajectory(tree, n=3000, freq=200.0, seed=5):
+    nd = tree.num_dofs
+    lims = tree.joint_limits()
+    lo = np.array([lims[j]["lower"] for j in tree.dof_names])
+    hi = np.array([lims[j]["upper"] for j in tree.dof_names])
+    t = np.arange(n) / freq
+    rng = np.random.default_rng(seed)
+    q0 = (lo + hi) / 2
+    amp = 0.35 * (hi - lo) / 2
+    Q = np.tile(q0, (n, 1))
+    V = np.zeros((n, nd))
+    A = np.zeros((n, nd))
+    for j in range(nd):
+        for k in range(1, 6):
+            w = 2 * np.pi * (0.25 * k + 0.11 * j + 0.029 * j * k)
+            a = amp[j] / k * rng.uniform(0.5, 1.0)
+            ph = rng.uniform(0, 2 * np.pi)
+            Q[:, j] += a * np.sin(w * t + ph) / 2
+            V[:, j] += a * w * np.cos(w * t + ph) / 2
+            A[:, j] += -a * w * w * np.sin(w * t + ph) / 2
+    return {
+        "positions": Q,
+        "velocities": V,
+        "accelerations": A,
+        "times": t,
+        "frequency": np.float64(freq),
+    }
+
+
+def test_simulate_then_identify(tmp_path):
+    """Simulated effects+noise, preprocess, identify; residual must be
+    small and masses roughly recovered despite the unmodeled effects."""
+    sys.path.insert(0, REPO)
+    from simulator import simulate_measurements
+
+    from flobaroid_tpu.models.urdf import load_urdf
+
+    urdf = str(tmp_path / "arm.urdf")
+    import shutil
+
+    shutil.copy(ARM_URDF, urdf)
+    tree = load_urdf(urdf)
+    traj = multisine_trajectory(tree, n=3000)
+
+    config = load_config(
+        None,
+        overrides=dict(
+            urdf=urdf,
+            num_dofs=tree.num_dofs,
+            jointNames=tree.dof_names,
+            excitationFrequency=200.0,
+            floatingBase=0,
+            # keep the hardest unmodelable effects off for the acceptance
+            # bound; they are exercised by test_simulation.py
+            simulateCableForces=0,
+            simulateGravityCompResidual=0,
+            simulateThermalDrift=0,
+            simulateTimingJitter=0,
+        ),
+    )
+    meas = simulate_measurements(config, traj, interactive=False)
+    for k in ("positions", "velocities", "torques", "positions_raw", "target_positions"):
+        assert k in meas
+    np.savez(tmp_path / "measurements.npz", **meas)
+
+    opt = load_config(
+        None,
+        overrides=dict(
+            floatingBase=0,
+            identifyFrictionSimultaneously=1,
+            identifySymmetricVelFriction=1,
+            useStructuralRegressor=1,
+            randomSamples=1000,
+            computeDtype="float64",
+            estimateWith="std",
+            verbose=0,
+        ),
+    )
+    idf = Identification(opt, urdf, urdf_file_real=urdf)
+    idf.data.init_from_files([[str(tmp_path / "measurements.npz")]])
+    idf.data.preprocess()
+    idf.estimateParameters()
+
+    assert idf.res_error < 15.0, f"residual {idf.res_error}%"
+
+    # NOTE: xBase vs xBaseModel is NOT the right ground truth here — the
+    # simulator injects friction (JointProperties Fv default 1.0) that the
+    # a-priori URDF does not carry, so the identified base params SHOULD
+    # deviate. The right checks: (a) the viscous friction the simulator
+    # injected is recovered, (b) the identified inertial model generalizes
+    # to unseen random states.
+    import jax
+    import jax.numpy as jnp
+
+    xf = idf._full_xstd()
+    nd = idf.model.num_dofs
+    fs = idf.model.friction_params_start
+    fv_id = xf[fs + nd : fs + 2 * nd]
+    assert np.all(np.abs(fv_id - 1.0) < 0.5), f"Fv not recovered: {fv_id}"
+
+    eng = idf.model.engine
+    rng = np.random.default_rng(1)
+    Qr = jnp.asarray(rng.uniform(-1.5, 1.5, (500, nd)))
+    Vr = jnp.asarray(rng.standard_normal((500, nd)))
+    Ar = jnp.asarray(rng.standard_normal((500, nd)))
+    pi_id = jnp.asarray(xf[: idf.model.num_model_params])
+    pi_true = jnp.asarray(tree.std_params())
+    t_id = jax.vmap(lambda q, v, a: eng.inverse_dynamics(pi_id, q, v, a, floating=False))(Qr, Vr, Ar)
+    t_true = jax.vmap(lambda q, v, a: eng.inverse_dynamics(pi_true, q, v, a, floating=False))(Qr, Vr, Ar)
+    gen = float(np.linalg.norm(np.asarray(t_id - t_true)) / np.linalg.norm(np.asarray(t_true)))
+    assert gen < 0.15, f"random-state torque generalization {gen}"
+
+
+def test_simulator_cli(tmp_path):
+    """The simulator.py CLI runs as a subprocess and writes a contract-
+    compatible measurements npz."""
+    from flobaroid_tpu.models.urdf import load_urdf
+
+    tree = load_urdf(ARM_URDF)
+    traj = multisine_trajectory(tree, n=500)
+    traj_file = tmp_path / "traj.npz"
+    np.savez(traj_file, **traj)
+    cfg = dict(
+        excitationFrequency=200.0,
+        floatingBase=0,
+        verbose=0,
+        simulateCableForces=0,
+    )
+    cfg_file = tmp_path / "cfg.yaml"
+    with open(cfg_file, "w") as f:
+        yaml.safe_dump(cfg, f)
+    out_file = tmp_path / "meas.npz"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "simulator.py"),
+            "--config", str(cfg_file),
+            "--model", ARM_URDF,
+            "--trajectory", str(traj_file),
+            "--filename", str(out_file),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=500,
+        cwd=REPO,
+        env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    with np.load(out_file, allow_pickle=True) as f:
+        assert "torques_raw" in f.files
+        assert "target_positions" in f.files
+        assert f["positions"].shape == (500, 7)
