@@ -135,6 +135,11 @@ class Identification:
                 tauEst = t2.reshape(-1)
 
         self.tauEstimated = tauEst.reshape(self.data.num_used_samples, m.num_dofs + fb)
+        # mean per-sample residual norm: the CAD-regularization scale used
+        # by the SDP (reference identifier.py:207)
+        self.base_error = float(
+            np.mean(np.linalg.norm(m.tauMeasured - self.tauEstimated, axis=1))
+        )
         if estimateWith == "urdf":
             self.tauAPriori = self.tauEstimated
 
@@ -188,6 +193,9 @@ class Identification:
 
         if id_only:
             return
+
+        # sets self.base_error (used by WLS weighting and SDP regularization)
+        self.estimateRegressorTorques("base")
 
         if opt["useWLS"]:
             # IDIM-WLS (Zak 1994 / Gautier 1997): weight each output

@@ -1,0 +1,137 @@
+"""Link geometry utilities: mesh loading and bounding boxes.
+
+Replaces the reference's trimesh dependency for the COM-hull SDP
+constraints (identification/sdp.py:222-250 via
+helpers.URDFHelpers.getBoundingBox) and for capsule fitting
+(excitation/capsule.py:30-275): a self-contained binary/ASCII STL
+reader plus URDF-geometry bounding boxes.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import numpy as np
+
+from .urdf import RobotTree, rpy_to_matrix
+
+
+def load_stl_vertices(path: str) -> np.ndarray:
+    """Read an STL file (binary or ASCII) and return (V, 3) vertices."""
+    with open(path, "rb") as f:
+        head = f.read(84)
+        if len(head) < 84:
+            raise ValueError(f"not a valid STL file: {path}")
+        # heuristic: binary STL has tri-count matching the file size
+        (n_tri,) = struct.unpack("<I", head[80:84])
+        size = os.path.getsize(path)
+        if size == 84 + n_tri * 50:
+            data = np.fromfile(f, dtype=np.uint8, count=n_tri * 50)
+            rec = data.reshape(n_tri, 50)
+            tri = rec[:, 12:48].copy().view("<f4").reshape(n_tri, 3, 3)
+            return tri.reshape(-1, 3).astype(float)
+    # ASCII fallback
+    verts = []
+    with open(path, "r", errors="ignore") as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) == 4 and parts[0] == "vertex":
+                verts.append([float(parts[1]), float(parts[2]), float(parts[3])])
+    if not verts:
+        raise ValueError(f"could not parse STL: {path}")
+    return np.asarray(verts)
+
+
+def resolve_mesh_path(filename: str, urdf_path: str | None, mesh_base_dir: str = "meshes") -> str | None:
+    """Resolve package:// and relative mesh URIs next to the URDF
+    (reference: helpers.URDFHelpers loading package paths)."""
+    if filename is None:
+        return None
+    f = filename
+    if f.startswith("package://"):
+        f = f[len("package://") :]
+        # strip the package name, keep path below it
+        parts = f.split("/", 1)
+        f = parts[1] if len(parts) > 1 else parts[0]
+    candidates = []
+    if urdf_path:
+        d = os.path.dirname(os.path.abspath(urdf_path))
+        candidates += [os.path.join(d, f), os.path.join(d, os.path.basename(f))]
+        # reference layout: meshes dir next to the model file
+        candidates += [os.path.join(d, mesh_base_dir, os.path.basename(f))]
+        sub = f.split("/")
+        for k in range(1, len(sub)):
+            candidates.append(os.path.join(d, *sub[k:]))
+    candidates.append(f)
+    for c in candidates:
+        if os.path.exists(c):
+            return c
+    return None
+
+
+def link_bounding_box(
+    tree: RobotTree,
+    link_name: str,
+    fallback_center: np.ndarray | None = None,
+    cube_size: float = 0.5,
+    scale: float = 1.0,
+    use_collision: bool = False,
+    mesh_base_dir: str = "meshes",
+):
+    """Axis-aligned bounding box of a link's geometry in the link frame.
+
+    Returns (box_min(3,), box_max(3,)). Falls back to a cube of
+    `cube_size` around `fallback_center` when no geometry is available
+    (reference: sdp.py:222-250 / helpers getBoundingBox semantics,
+    incl. the hullScaling factor)."""
+    li = tree.link_index[link_name]
+    link = tree.links[li]
+    elems = link.collisions if use_collision and link.collisions else link.visuals
+    pts = []
+    for el in elems:
+        g = el.geometry
+        if g is None:
+            continue
+        R = rpy_to_matrix(el.origin_rpy)
+        p0 = el.origin_xyz
+        if g.kind == "box":
+            h = np.asarray(g.size) / 2.0
+            corners = np.array(
+                [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)]
+            ) * h
+            pts.append(corners @ R.T + p0)
+        elif g.kind in ("cylinder", "capsule"):
+            r, h = g.radius or 0.0, (g.length or 0.0) / 2.0
+            if g.kind == "capsule":
+                h = h + r
+            corners = np.array(
+                [[sx * r, sy * r, sz * h] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)]
+            )
+            pts.append(corners @ R.T + p0)
+        elif g.kind == "sphere":
+            r = g.radius or 0.0
+            corners = np.array(
+                [[sx * r, sy * r, sz * r] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)]
+            )
+            pts.append(corners @ R.T + p0)
+        elif g.kind == "mesh":
+            path = resolve_mesh_path(g.filename, tree.source_path, mesh_base_dir)
+            if path is None:
+                continue
+            try:
+                v = load_stl_vertices(path)
+            except (ValueError, OSError):
+                continue
+            if g.scale is not None:
+                v = v * np.asarray(g.scale)
+            pts.append(v @ R.T + p0)
+    if not pts:
+        c = np.zeros(3) if fallback_center is None else np.asarray(fallback_center)
+        half = cube_size / 2.0
+        return c - half, c + half
+    allp = np.concatenate(pts, axis=0)
+    lo, hi = allp.min(axis=0), allp.max(axis=0)
+    center = (lo + hi) / 2.0
+    halfw = (hi - lo) / 2.0 * scale
+    return center - halfw, center + halfw

@@ -1,0 +1,187 @@
+"""SDP (physically consistent identification) acceptance suite.
+
+Solver-agnostic acceptance criteria mirroring the reference's
+tests/test_sdp_baseline.py: consistency, residual bounds, mass boxes,
+hull mode, friction positivity, pinned params, closest-to-CAD,
+regularization-mode differences.
+"""
+
+import shutil
+
+import numpy as np
+import pytest
+
+from flobaroid_tpu.identification.identifier import Identification
+from flobaroid_tpu.utils.config import load_config
+from flobaroid_tpu.utils.helpers import consistency_per_link
+from test_identification import synth_samples
+
+ARM_URDF_PATH = "examples/models/sevenlink_arm.urdf"
+
+
+def spatial_consistent(xstd_full, num_links, eps=-1e-8):
+    """All links with nonzero params have PSD spatial inertia (the
+    constraint the SDP enforces, reference sdp.py:123-148)."""
+    from flobaroid_tpu.dynamics.spatial import inertia_matrix_from_params
+    import jax.numpy as jnp
+
+    ok = True
+    for i in range(num_links):
+        p = xstd_full[i * 10 : i * 10 + 10]
+        if np.all(np.abs(p) < 1e-12):
+            continue
+        M = np.asarray(inertia_matrix_from_params(jnp.asarray(p)))
+        if np.linalg.eigvalsh(M)[0] < eps:
+            ok = False
+    return ok
+
+
+@pytest.fixture(scope="module")
+def arm(tmp_path_factory):
+    import os
+
+    d = tmp_path_factory.mktemp("sdp_arm")
+    src = os.path.join(os.path.dirname(__file__), "..", ARM_URDF_PATH)
+    p = str(d / "arm.urdf")
+    shutil.copy(src, p)
+    samples, _ = synth_samples(p, n=1500, noise=0.05, seed=21)
+    return p, samples
+
+
+def sdp_opt(**kw):
+    opt = load_config(None)
+    opt.update(
+        dict(
+            verbose=0,
+            floatingBase=0,
+            useStructuralRegressor=1,
+            randomSamples=1000,
+            computeDtype="float64",
+            estimateWith="std",
+            constrainToConsistent=1,
+            limitOverallMass=1,
+            limitMassRange=1.0,
+            limitMassToApriori=1,
+            limitMassAprioriBoundary=0.3,
+        )
+    )
+    opt.update(kw)
+    return opt
+
+
+def run_sdp(urdf, samples, **kw):
+    opt = sdp_opt(**kw)
+    idf = Identification(opt, urdf)
+    idf.data.init_from_data(dict(samples))
+    idf.estimateParameters()
+    return idf
+
+
+def test_sdp_consistent_and_accurate(arm):
+    urdf, samples = arm
+    idf = run_sdp(urdf, samples)
+    assert idf.sdp.last_status == "optimal"
+    xf = idf._full_xstd()
+    assert spatial_consistent(xf, idf.model.num_links)
+    # torque residual < 5% (reference tests/test_identification.py:205)
+    assert idf.res_error < 5.0, f"SDP residual {idf.res_error}%"
+    # mass boxes hold
+    masses = xf[0 : idf.model.num_model_params : 10]
+    apriori = idf.model.xStdModel[0 : idf.model.num_model_params : 10]
+    tot_lo = apriori.sum() - 1.0
+    tot_hi = apriori.sum() + 1.0
+    assert tot_lo <= masses.sum() <= tot_hi
+    nz = np.abs(apriori) > 1e-9
+    assert np.all(np.abs(masses[nz] - apriori[nz]) <= 0.3 * np.abs(apriori[nz]) + 1e-6)
+
+
+def test_sdp_pinned_params(arm):
+    urdf, samples = arm
+    pin = [20, 21, 22, 23]  # link 2 mass + first moments
+    idf = run_sdp(urdf, samples, dontChangeParams=pin)
+    xf = idf._full_xstd()
+    np.testing.assert_allclose(xf[pin], idf.model.xStdModel[pin], atol=1e-12)
+    assert idf.res_error < 5.0
+
+
+def test_sdp_hull_mode(arm):
+    urdf, samples = arm
+    idf = run_sdp(urdf, samples, restrictCOMtoHull=1, limitCOMToApriori=0)
+    assert idf.sdp.last_status == "optimal"
+    xf = idf._full_xstd()
+    for name, (lo, hi) in idf.sdp.link_hulls.items():
+        i = idf.model.linkNames.index(name)
+        mi = xf[i * 10]
+        if mi < 1e-9:
+            continue
+        com = xf[i * 10 + 1 : i * 10 + 4] / mi
+        assert np.all(com >= lo - 1e-5) and np.all(com <= hi + 1e-5), (name, com, lo, hi)
+
+
+def test_sdp_friction_positive(arm):
+    urdf, samples0 = arm
+    fric = {"Fc": np.linspace(0.2, 0.5, 7), "Fv": np.linspace(0.05, 0.3, 7)}
+    samples, _ = synth_samples(urdf, n=1500, noise=0.05, seed=31, fric=fric)
+    idf = run_sdp(
+        urdf,
+        samples,
+        identifyFrictionSimultaneously=1,
+        identifySymmetricVelFriction=1,
+    )
+    xf = idf._full_xstd()
+    nd = idf.model.num_dofs
+    fs = idf.model.friction_params_start
+    fv = xf[fs + nd : fs + 2 * nd]
+    assert np.all(fv >= 0), fv
+    np.testing.assert_allclose(fv, fric["Fv"], atol=0.1)
+    assert idf.res_error < 5.0
+
+
+def test_sdp_closest_to_cad(arm):
+    urdf, samples = arm
+    idf1 = run_sdp(urdf, samples)
+    x1 = idf1._full_xstd()
+    idf2 = run_sdp(urdf, samples, identifyClosestToCAD=1)
+    x2 = idf2._full_xstd()
+    cad = idf2.model.xStdModel
+    d1 = np.linalg.norm(x1 - cad)
+    d2 = np.linalg.norm(x2 - cad)
+    assert d2 <= d1 + 1e-6, (d1, d2)
+    # torque fit must stay good (base params constrained to step-1 solution)
+    assert idf2.res_error < 5.0
+
+
+def test_sdp_geometric_mode_differs(arm):
+    urdf, samples = arm
+    idf_u = run_sdp(urdf, samples, cadRegularizationMode="uniform")
+    idf_g = run_sdp(urdf, samples, cadRegularizationMode="geometric")
+    xu = idf_u._full_xstd()
+    xg = idf_g._full_xstd()
+    assert np.all(np.isfinite(xg))
+    assert idf_g.sdp.last_status == "optimal"
+    assert spatial_consistent(xg, idf_g.model.num_links)
+    assert idf_g.res_error < 5.0
+    # the two regularizations produce different (both valid) decompositions
+    assert np.linalg.norm(xu - xg) > 1e-6
+
+
+def test_sdp_infeasible_apriori_recovers(arm, tmp_path):
+    """Phase-I must recover when the a-priori URDF is physically
+    inconsistent (negative-definite inertia on one link)."""
+    urdf, samples = arm
+    bad = str(tmp_path / "bad.urdf")
+    txt = open(urdf).read()
+    # corrupt link 3's inertia to be non-PSD
+    txt = txt.replace('ixx="0.015"', 'ixx="-0.02"', 1)
+    with open(bad, "w") as f:
+        f.write(txt)
+    idf = run_sdp(bad, samples, limitMassToApriori=0, limitOverallMass=0)
+    xf = idf._full_xstd()
+    if idf.sdp.last_status == "optimal":
+        assert spatial_consistent(xf, idf.model.num_links)
+    else:
+        # graceful fallback: a priori kept
+        np.testing.assert_allclose(
+            xf[: idf.model.num_model_params],
+            idf.model.xStdModel[: idf.model.num_model_params],
+        )
