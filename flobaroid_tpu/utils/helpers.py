@@ -70,26 +70,49 @@ def pseudo_inertia(p10: np.ndarray) -> np.ndarray:
     return P
 
 
-def is_physical_consistent(params: np.ndarray, num_links: int, eps: float = 0.0) -> bool:
-    """All links' pseudo-inertia matrices PSD (massless links pass)."""
+def spatial_inertia_6x6(p10: np.ndarray) -> np.ndarray:
+    """Symmetric 6x6 spatial-inertia block [[I, S(h)^T], [S(h), m E]] —
+    the PSD matrix the SDP enforces (reference sdp.py:123-148)."""
+    m = p10[0]
+    h = p10[1:4]
+    I = inertia_tensor_from_vec(p10[4:10])
+    S = np.array([[0, -h[2], h[1]], [h[2], 0, -h[0]], [-h[1], h[0], 0]])
+    return np.block([[I, S.T], [S, m * np.eye(3)]])
+
+
+def is_physical_consistent(
+    params: np.ndarray, num_links: int, eps: float = 0.0, triangle: bool = False
+) -> bool:
+    """Physical consistency per link (massless links pass).
+
+    triangle=False: PSD of the 6x6 spatial inertia [[I, S(h)^T],[S(h), mE]]
+    — the reference's 'NoTriangle' check and exactly what its SDP enforces
+    (helpers.checkPhysicalConsistencyNoTriangle / sdp.py:123-148).
+    triangle=True: PSD of the 4x4 pseudo-inertia (density realizability /
+    triangle inequality, the stronger Wensing condition; the reference's
+    showTriangleConsistency)."""
     for i in range(num_links):
         p = params[i * 10 : i * 10 + 10]
-        if abs(p[0]) < 1e-12 and np.all(np.abs(p) < 1e-12):
+        if np.all(np.abs(p) < 1e-12):
             continue
-        ev = np.linalg.eigvalsh(pseudo_inertia(p))
-        if ev[0] < -max(eps, 1e-10 * max(1.0, ev[-1])):
+        M = pseudo_inertia(p) if triangle else spatial_inertia_6x6(p)
+        ev = np.linalg.eigvalsh(M)
+        if ev[0] < -max(eps, 1e-10 * max(1.0, abs(ev[-1]))):
             return False
     return True
 
 
-def consistency_per_link(params: np.ndarray, num_links: int) -> dict[int, bool]:
+def consistency_per_link(
+    params: np.ndarray, num_links: int, triangle: bool = False
+) -> dict[int, bool]:
     out = {}
     for i in range(num_links):
         p = params[i * 10 : i * 10 + 10]
         if np.all(np.abs(p) < 1e-12):
             out[i] = True
             continue
-        ev = np.linalg.eigvalsh(pseudo_inertia(p))
+        M = pseudo_inertia(p) if triangle else spatial_inertia_6x6(p)
+        ev = np.linalg.eigvalsh(M)
         out[i] = bool(ev[0] >= -1e-10 * max(1.0, abs(ev[-1])))
     return out
 

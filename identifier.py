@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Identify inertial + friction parameters from measurements.
+
+CLI counterpart of the reference's identifier.py main (:1441-1616):
+loads config + URDF + measurement npz files, optionally merges
+unobservable params from the trajectory file into dontChangeParams,
+runs the (optionally block-selecting) identification, renders console
+and HTML reports, validates on held-out data, and exports the
+identified model to URDF when physically consistent.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from flobaroid_tpu.utils.cli import base_parser, load_cli_config, setup_jax
+
+
+def main():
+    setup_jax()
+    p = base_parser("Identify dynamics parameters from measurements")
+    p.add_argument("--measurements", action="append", nargs="+", required=True,
+                   help="measurements npz file(s), repeatable")
+    p.add_argument("--validation", help="measurements npz for validation")
+    p.add_argument("--model_real", help="URDF with ground-truth params (simulation)")
+    p.add_argument("--model_output", help="write identified URDF here")
+    p.add_argument("--trajectory", help="trajectory npz (for unobservable params)")
+    p.add_argument("--plot", action="store_true", help="create plots")
+    args = p.parse_args()
+    config = load_cli_config(args)
+
+    from flobaroid_tpu.identification.identifier import Identification
+    from flobaroid_tpu.output import OutputConsole, OutputMatplotlib
+    from flobaroid_tpu.utils import helpers
+
+    # merge unobservable params from the trajectory file into
+    # dontChangeParams (reference identifier.py:1536-1562)
+    if args.trajectory:
+        try:
+            with np.load(args.trajectory, allow_pickle=True) as f:
+                if "unobservable_params" in f.files:
+                    unobs = [int(v) for v in f["unobservable_params"]]
+                    if unobs:
+                        cur = set(config.get("dontChangeParams", []))
+                        config["dontChangeParams"] = sorted(cur | set(unobs))
+                        print(f"pinning {len(unobs)} unobservable params to a priori")
+        except (OSError, KeyError) as e:
+            print(f"could not read trajectory file: {e}")
+
+    idf = Identification(
+        config,
+        config["urdf"],
+        urdf_file_real=args.model_real,
+        measurements_files=args.measurements,
+        regressor_file=config.get("regressor"),
+        validation_file=args.validation,
+    )
+
+    if config.get("filterMeasurements", 0) or config.get("preprocessMeasurements", 1):
+        # raw hardware data needs the filtering/differentiation chain;
+        # files written by simulator.py carry *_raw + filtered channels
+        # already, so only preprocess when requested or raw-only
+        if "velocities_raw" not in idf.data.samples or config.get("filterMeasurements", 0):
+            idf.data.preprocess()
+
+    if config.get("removeNearZero", 0):
+        idf.data.remove_near_zero_samples()
+
+    if config.get("selectBlocksFromMeasurements", 0):
+        # Venture-2009 block selection: score blocks by base-regressor
+        # condition number (reference identifier.py:1564-1589)
+        from flobaroid_tpu.data import Data
+        from flobaroid_tpu.model import Model
+
+        def score(sub):
+            d = Data(dict(config))
+            d.init_from_data(sub)
+            try:
+                idf.model.computeRegressors(d)
+                return float(np.linalg.cond(idf.model.YBase))
+            except Exception:
+                return 1e16
+
+        idf.data.select_blocks(score)
+        print(f"selected blocks: {idf.data.selected_blocks}")
+
+    idf.estimateParameters()
+
+    console = OutputConsole(idf)
+    text = console.render()
+
+    if args.validation:
+        idf.estimateValidationTorques()
+
+    if config.get("outputLatex", 0):
+        print(console.render_latex())
+
+    if args.plot or config.get("createPlots", 0):
+        OutputMatplotlib(idf, text=text).render()
+
+    if args.model_output:
+        xStd = idf._full_xstd()
+        if helpers.is_physical_consistent(xStd[: idf.model.num_model_params], idf.model.num_links):
+            from flobaroid_tpu.models.urdf import replace_params_in_urdf
+
+            fric = None
+            if hasattr(idf, "postid_friction"):
+                fric = {
+                    idf.model.jointNames[j]: {
+                        "friction": idf.postid_friction["Fc"][j],
+                        "damping": idf.postid_friction["Fv"][j],
+                    }
+                    for j in range(idf.model.num_dofs)
+                }
+            elif config["identifyFrictionSimultaneously"] and config["identifySymmetricVelFriction"]:
+                fs = idf.model.friction_params_start
+                nd = idf.model.num_dofs
+                fric = {
+                    idf.model.jointNames[j]: {
+                        "friction": xStd[fs + j],
+                        "damping": xStd[fs + nd + j],
+                    }
+                    for j in range(nd)
+                }
+            replace_params_in_urdf(
+                config["urdf"], args.model_output, xStd[: idf.model.num_model_params],
+                idf.model.linkNames, friction=fric,
+            )
+            print(f"Wrote identified model to {args.model_output}")
+        else:
+            print("identified params are not physically consistent — NOT writing URDF "
+                  "(enable constrainToConsistent for guaranteed-consistent output)")
+
+    return idf
+
+
+if __name__ == "__main__":
+    main()
