@@ -110,16 +110,24 @@ def main():
     import jax.numpy as jnp
 
     eng = idf.model.engine
-    regr = jax.jit(eng.regressor_batch)
+
+    # NOTE: inputs are perturbed per repetition and the output reduced —
+    # the execution relay caches identical dispatches, which otherwise
+    # inflates throughput by orders of magnitude
+    @jax.jit
+    def regr_sum(Q, V, A, eps):
+        Y = eng.regressor_batch(Q + eps, V, A)
+        return jnp.sum(Y * Y)
+
     Q = jnp.asarray(samples["positions"], dtype=jnp.float32)
     V = jnp.asarray(samples["velocities"], dtype=jnp.float32)
     A = jnp.asarray(samples["accelerations"], dtype=jnp.float32)
-    regr(Q, V, A).block_until_ready()
+    regr_sum(Q, V, A, jnp.float32(0.0)).block_until_ready()
     t0 = time.time()
     reps = 20
-    for _ in range(reps):
-        Y = regr(Q, V, A)
-    Y.block_until_ready()
+    for i in range(reps):
+        s = regr_sum(Q, V, A, jnp.float32(1e-6 * i))
+    s.block_until_ready()
     rows_per_sec = reps * n_samples * eng.num_dofs / (time.time() - t0)
 
     ok = res_error < 1.0 and xb_err < 0.05
