@@ -82,6 +82,13 @@ def main():
             useStructuralRegressor=1,
             randomSamples=2000,
             estimateWith="std",
+            # the north-star pipeline includes the physically consistent
+            # SDP stage (BASELINE.md: simulate+identify OLS->SDP < 1 s)
+            constrainToConsistent=1,
+            limitOverallMass=1,
+            limitMassRange=1.0,
+            limitMassToApriori=1,
+            limitMassAprioriBoundary=0.3,
             verbose=0,
         ),
     )
@@ -130,9 +137,15 @@ def main():
     s.block_until_ready()
     rows_per_sec = reps * n_samples * eng.num_dofs / (time.time() - t0)
 
-    ok = res_error < 1.0 and xb_err < 0.05
+    from flobaroid_tpu.utils.helpers import is_physical_consistent
+
+    xf = idf._full_xstd()
+    consistent = is_physical_consistent(
+        xf[: idf.model.num_model_params], idf.model.num_links
+    )
+    ok = res_error < 1.0 and xb_err < 0.05 and consistent
     result = {
-        "metric": "sevenlink_simulate_identify_wallclock",
+        "metric": "sevenlink_simulate_identify_ols_sdp_wallclock",
         "value": round(wall, 4),
         "unit": "s",
         "vs_baseline": round(1.0 / wall, 3),  # north-star 1 s / measured
@@ -142,6 +155,8 @@ def main():
             "torque_residual_pct": round(res_error, 5),
             "base_param_rel_err": round(xb_err, 6),
             "parity_ok": bool(ok),
+            "physically_consistent": bool(consistent),
+            "sdp_status": idf.sdp.last_status if idf.sdp else None,
             "n_samples": n_samples,
         },
     }

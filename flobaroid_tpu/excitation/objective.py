@@ -77,6 +77,25 @@ class TrajectoryObjective:
         self.extra_constraints_fn = extra_constraints_fn
         self.fb = model.fb
         self.floating = bool(config["floatingBase"])
+
+        # suspended base inside the objective (walkman_full scenario,
+        # reference trajectoryGenerator.py:172-187): the ball-joint scan
+        # runs traced as part of the differentiable chain; the
+        # equilibrium start orientation is computed once at build time
+        # (the reference re-searches per candidate on the host)
+        self.suspended = None
+        self._att_rpy0 = None
+        if self.floating and config.get("floatingBaseAttachment") == "suspended":
+            from .suspended import SuspendedSimulator
+
+            self.suspended = SuspendedSimulator(
+                model.tree,
+                config.get("floatingBaseAttachmentFrame", "crane_ft"),
+                damping=float(config.get("suspendedDamping", 2000.0)),
+            )
+            self._att_rpy0 = self.suspended.find_equilibrium_rpy(
+                np.zeros(model.num_dofs)
+            )
         self.min_torque_util = (
             float(config.get("minTorquePercentage", 0.1))
             if config.get("minTorqueConstraint", 0)
@@ -115,13 +134,29 @@ class TrajectoryObjective:
         fbr = 6 if floating else 0
         extra_fn = self.extra_constraints_fn
 
+        suspended = self.suspended
+        att_rpy0 = (
+            jnp.asarray(self._att_rpy0, dt) if self._att_rpy0 is not None else None
+        )
+        dt_samp = float(self.times[1] - self.times[0])
+
         def raw(x):
             Q, V, A = fourier_traj(self.spec, x.astype(dt), times)
             if floating:
                 N = Q.shape[0]
-                BR = jnp.broadcast_to(jnp.eye(3, dtype=dt), (N, 3, 3))
-                BV = jnp.zeros((N, 6), dt)
-                BA = jnp.zeros((N, 6), dt)
+                if suspended is not None:
+                    rpy_s, _, vel_s = suspended.simulate_core(Q, V, A, att_rpy0, dt_samp)
+                    acc_s = suspended.acceleration_from_velocity(vel_s, dt_samp)
+                    # storage convention: world_R_base = RPY(rpy)^T
+                    from ..dynamics import spatial as sp
+
+                    BR = jnp.swapaxes(sp.rpy_to_rot(rpy_s), -1, -2)
+                    BV = vel_s
+                    BA = acc_s
+                else:
+                    BR = jnp.broadcast_to(jnp.eye(3, dtype=dt), (N, 3, 3))
+                    BV = jnp.zeros((N, 6), dt)
+                    BA = jnp.zeros((N, 6), dt)
                 Y = eng.regressor_batch(Q, V, A, BR, BV, BA)
             else:
                 Y = eng.regressor_batch(Q, V, A)

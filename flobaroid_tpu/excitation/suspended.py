@@ -118,7 +118,9 @@ class SuspendedSimulator:
         a_lin_mixed = a_r[3:] + jnp.cross(w_r, vlin_mixed)
         base_vel = jnp.concatenate([vlin_mixed, w_r])
         base_acc = jnp.concatenate([a_lin_mixed, a_r[:3]])
-        out = eng.inverse_dynamics(self.pi, q, dq, ddq, R_wr, base_vel, base_acc)
+        out = eng.inverse_dynamics(
+            self.pi.astype(q.dtype), q, dq, ddq, R_wr, base_vel, base_acc
+        )
         f, n_O = out[:3], out[3:6]
         return n_O - jnp.cross(p_a, f)
 
@@ -138,26 +140,13 @@ class SuspendedSimulator:
         alpha = jnp.linalg.solve(A + c * dt * eye, -n0 - c * att_omega)
         return alpha, R_wr, pw, p_a, s, mask, v_r
 
-    def simulate(self, positions, velocities, accelerations, times, initial_rpy=None):
-        """Run the ball-joint integration over the whole trajectory.
+    def simulate_core(self, positions, velocities, accelerations, att_rpy0, dt):
+        """Traced ball-joint integration (jit/grad/vmap-safe).
 
-        Returns (base_rpy (N,3), base_velocity (N,6), base_acceleration
-        (N,6), base_position (N,3)) — same contract as the reference
-        (suspendedDynamics.py:21-232). initial_rpy overrides the static
-        equilibrium start (used by tests)."""
+        Returns (base_rpy (N,3), base_position (N,3), base_velocity (N,6))
+        as traced arrays; acceleration differentiation and the
+        equilibrium search live in the host wrapper `simulate`."""
         eng = self.engine
-        positions = jnp.asarray(positions)
-        velocities = jnp.asarray(velocities)
-        accelerations = jnp.asarray(accelerations)
-        times = np.asarray(times)
-        N = positions.shape[0]
-        dt = float(times[1] - times[0]) if N > 1 else 1.0 / 200.0
-
-        if initial_rpy is None:
-            att_rpy0 = self.find_equilibrium_rpy(np.asarray(positions[0]))
-        else:
-            att_rpy0 = np.asarray(initial_rpy, dtype=float)
-
         bl = self.bl
 
         def body(carry, xs):
@@ -188,16 +177,44 @@ class SuspendedSimulator:
 
         (_, _), (rpy_s, pos_s, vel_s) = jax.lax.scan(
             body,
-            (jnp.asarray(att_rpy0), jnp.zeros(3, positions.dtype)),
+            (jnp.asarray(att_rpy0, positions.dtype), jnp.zeros(3, positions.dtype)),
             (positions, velocities, accelerations),
         )
+        return rpy_s, pos_s, vel_s
 
+    @staticmethod
+    def acceleration_from_velocity(vel_s, dt):
+        """Central-difference base acceleration (traced-friendly)."""
+        v = vel_s
+        inner = (v[2:] - v[:-2]) / (2 * dt)
+        first = (v[1:2] - v[0:1]) / dt
+        last = (v[-1:] - v[-2:-1]) / dt
+        return jnp.concatenate([first, inner, last], axis=0)
+
+    def simulate(self, positions, velocities, accelerations, times, initial_rpy=None):
+        """Run the ball-joint integration over the whole trajectory.
+
+        Returns (base_rpy (N,3), base_velocity (N,6), base_acceleration
+        (N,6), base_position (N,3)) — same contract as the reference
+        (suspendedDynamics.py:21-232). initial_rpy overrides the static
+        equilibrium start (used by tests)."""
+        positions = jnp.asarray(positions)
+        velocities = jnp.asarray(velocities)
+        accelerations = jnp.asarray(accelerations)
+        times = np.asarray(times)
+        N = positions.shape[0]
+        dt = float(times[1] - times[0]) if N > 1 else 1.0 / 200.0
+
+        if initial_rpy is None:
+            att_rpy0 = self.find_equilibrium_rpy(np.asarray(positions[0]))
+        else:
+            att_rpy0 = np.asarray(initial_rpy, dtype=float)
+
+        rpy_s, pos_s, vel_s = self.simulate_core(
+            positions, velocities, accelerations, att_rpy0, dt
+        )
         base_velocity = np.asarray(vel_s)
-        base_acceleration = np.zeros_like(base_velocity)
-        if N > 2:
-            base_acceleration[1:-1] = (base_velocity[2:] - base_velocity[:-2]) / (2 * dt)
-            base_acceleration[0] = (base_velocity[1] - base_velocity[0]) / dt
-            base_acceleration[-1] = (base_velocity[-1] - base_velocity[-2]) / dt
+        base_acceleration = np.asarray(self.acceleration_from_velocity(vel_s, dt))
         return np.asarray(rpy_s), base_velocity, base_acceleration, np.asarray(pos_s)
 
     # ------------------------------------------------------------------

@@ -321,6 +321,26 @@ class SDP:
 
         self.A = np.asarray(rows) if rows else None
         self.b = np.asarray(rhs) if rhs else None
+        # compiled-solver cache: the Newton step costs ~5 s to compile but
+        # ~1 ms to run; reuse one compilation per constraint structure
+        self._solver_cache = {}
+
+    def _get_solver(self, A=None, b=None):
+        # b is baked into the compiled barrier, so it must be part of the key
+        key = (
+            ("main",)
+            if A is None
+            else ("ext", A.shape, hash(A.tobytes()), hash(b.tobytes()))
+        )
+        if key not in self._solver_cache:
+            self._solver_cache[key] = conic.QuadBarrierSolver(
+                self.A if A is None else A,
+                self.b if b is None else b,
+                self.psd_maps,
+                self.epsilon_safemargin,
+                len(self.free_params),
+            )
+        return self._solver_cache[key]
 
     # ------------------------------------------------------------------
     def _x0_free(self):
@@ -490,16 +510,23 @@ class SDP:
                 val = val + w * D(x)
             return val
 
-        prob = conic.BarrierProblem(
-            objective=objective,
-            A=self.A,
-            b=self.b,
-            psd_maps=self.psd_maps,
-            psd_eps=self.epsilon_safemargin,
-        )
         if opt.get("checkAPrioriFeasibility"):
             self.checkFeasibility(m.xStdModel)
-        x, status = conic.solve(prob, self._x0_free(), verbose=opt["verbose"] > 1)
+        if geo_terms:
+            prob = conic.BarrierProblem(
+                objective=objective,
+                A=self.A,
+                b=self.b,
+                psd_maps=self.psd_maps,
+                psd_eps=self.epsilon_safemargin,
+            )
+            x, status = conic.solve(prob, self._x0_free(), verbose=opt["verbose"] > 1)
+        else:
+            Cs = C_free / scale
+            ds = d_eff / scale
+            x, status = self._get_solver().solve_quadratic(
+                self._x0_free(), 2.0 * Cs.T @ Cs, -2.0 * Cs.T @ ds, float(ds @ ds)
+            )
         self.last_status = status
         if status == "optimal":
             resid = float(np.linalg.norm(C_free @ x - d_eff) ** 2)
@@ -533,14 +560,9 @@ class SDP:
         Gj = jnp.asarray(G_free)
         gj = jnp.asarray(g_free)
 
-        def objective(x):
-            return x @ Gj @ x - 2.0 * gj @ x
-
-        prob = conic.BarrierProblem(
-            objective=objective, A=self.A, b=self.b, psd_maps=self.psd_maps,
-            psd_eps=self.epsilon_safemargin,
+        x, status = self._get_solver().solve_quadratic(
+            self._x0_free(), 2.0 * G_free, -2.0 * g_free, float(tau @ tau)
         )
-        x, status = conic.solve(prob, self._x0_free(), verbose=opt["verbose"] > 1)
         self.last_status = status
         if status == "optimal":
             m.xStd = self._expand_solution(x)
@@ -566,17 +588,10 @@ class SDP:
         b = np.concatenate([self.b, b_extra]) if self.b is not None else b_extra
 
         target = np.array([m.xStdModel[p] for p in self.free_params])
-        tj = jnp.asarray(target)
-
-        def objective(x):
-            d = x - tj
-            return jnp.dot(d, d)
-
-        prob = conic.BarrierProblem(
-            objective=objective, A=A, b=b, psd_maps=self.psd_maps,
-            psd_eps=self.epsilon_safemargin,
+        nf = len(self.free_params)
+        x, status = self._get_solver(A, b).solve_quadratic(
+            self._x0_free(), 2.0 * np.eye(nf), -2.0 * target, float(target @ target)
         )
-        x, status = conic.solve(prob, self._x0_free(), verbose=opt["verbose"] > 1)
         self.last_status = status
         if status == "optimal":
             if opt["verbose"]:
@@ -590,17 +605,10 @@ class SDP:
         """Project a std vector onto the feasible set
         (reference sdp.py:772-800)."""
         target = np.array([xStd[self._identified_pos(p)] for p in self.free_params])
-        tj = jnp.asarray(target)
-
-        def objective(x):
-            d = x - tj
-            return jnp.dot(d, d)
-
-        prob = conic.BarrierProblem(
-            objective=objective, A=self.A, b=self.b, psd_maps=self.psd_maps,
-            psd_eps=self.epsilon_safemargin,
+        nf = len(self.free_params)
+        x, status = self._get_solver().solve_quadratic(
+            self._x0_free(), 2.0 * np.eye(nf), -2.0 * target, float(target @ target)
         )
-        x, status = conic.solve(prob, self._x0_free())
         self.last_status = status
         if status == "optimal":
             return self._expand_solution(x)

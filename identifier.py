@@ -47,14 +47,17 @@ def main():
         except (OSError, KeyError) as e:
             print(f"could not read trajectory file: {e}")
 
-    idf = Identification(
-        config,
-        config["urdf"],
-        urdf_file_real=args.model_real,
-        measurements_files=args.measurements,
-        regressor_file=config.get("regressor"),
-        validation_file=args.validation,
-    )
+    from flobaroid_tpu.utils.timing import jax_profile, stage_timer
+
+    with stage_timer("model + projections", config):
+        idf = Identification(
+            config,
+            config["urdf"],
+            urdf_file_real=args.model_real,
+            measurements_files=args.measurements,
+            regressor_file=config.get("regressor"),
+            validation_file=args.validation,
+        )
 
     if config.get("filterMeasurements", 0) or config.get("preprocessMeasurements", 1):
         # raw hardware data needs the filtering/differentiation chain;
@@ -84,7 +87,8 @@ def main():
         idf.data.select_blocks(score)
         print(f"selected blocks: {idf.data.selected_blocks}")
 
-    idf.estimateParameters()
+    with jax_profile(config.get("jaxProfileDir")), stage_timer("estimation", config):
+        idf.estimateParameters()
 
     console = OutputConsole(idf)
     text = console.render()

@@ -214,3 +214,71 @@ def test_posture_optimizer(arm_model):
     hi = np.array([lims[j]["upper"] for j in model.jointNames])
     for a in angles:
         assert np.all(a >= lo - 1e-9) and np.all(a <= hi + 1e-9)
+
+
+SUSPENDED_URDF = """
+<robot name="susp">
+  <link name="Waist">
+    <inertial><mass value="6.0"/><origin xyz="0 0 -0.1"/>
+      <inertia ixx="0.08" iyy="0.08" izz="0.05"/></inertial>
+  </link>
+  <link name="crane_ft"/>
+  <joint name="crane_j" type="fixed">
+    <origin xyz="0 0 0.4"/><parent link="Waist"/><child link="crane_ft"/>
+  </joint>
+  <joint name="j1" type="revolute">
+    <origin xyz="0.1 0 -0.2"/><axis xyz="0 1 0"/>
+    <parent link="Waist"/><child link="l1"/>
+    <limit effort="40" lower="-1.5" upper="1.5" velocity="3"/>
+  </joint>
+  <link name="l1">
+    <inertial><mass value="1.5"/><origin xyz="0.15 0 0"/>
+      <inertia ixx="0.004" iyy="0.02" izz="0.02"/></inertial>
+  </link>
+  <joint name="j2" type="revolute">
+    <origin xyz="0.3 0 0"/><axis xyz="0 0 1"/>
+    <parent link="l1"/><child link="l2"/>
+    <limit effort="25" lower="-1.5" upper="1.5" velocity="3"/>
+  </joint>
+  <link name="l2">
+    <inertial><mass value="0.8"/><origin xyz="0.12 0 0"/>
+      <inertia ixx="0.002" iyy="0.008" izz="0.008"/></inertial>
+  </link>
+</robot>
+"""
+
+
+def test_suspended_objective(tmp_path):
+    """D-optimality objective with the suspended-base scan in the loop
+    (walkman_full scenario): finite values, flowing gradients, feasible
+    optimization result."""
+    urdf = tmp_path / "susp.urdf"
+    urdf.write_text(SUSPENDED_URDF)
+    opt = load_config(
+        None,
+        overrides=dict(
+            floatingBase=1,
+            floatingBaseAttachment="suspended",
+            floatingBaseAttachmentFrame="crane_ft",
+            suspendedDamping=50.0,
+            useStructuralRegressor=1,
+            randomSamples=400,
+            computeDtype="float64",
+            excitationFrequency=50.0,
+            trajectoryPulseMin=1.0,
+            trajectoryPulseMax=2.0,
+            trajectoryDefaultNf=2,
+            globalOptSize=8,
+            globalOptIterations=2,
+            localOptIterations=1,
+            verbose=0,
+        ),
+    )
+    model = Model(opt, str(urdf))
+    x, spec, obj, info = optimize_trajectory(model, dict(opt))
+    assert obj.suspended is not None
+    f, g, n_obs = obj.evaluate(x)
+    assert np.isfinite(f) and np.all(np.isfinite(g))
+    _, grad = obj.penalized_value_and_grad(x, 10.0)
+    assert np.all(np.isfinite(grad)) and np.linalg.norm(grad) > 0
+    assert info["feasible"], info
