@@ -102,6 +102,10 @@ class SDP:
         }
         self.epsilon_safemargin = float(idf.opt.get("sdpSafeMargin", 1e-6))
         self.last_status: str | None = None
+        # persistent across initSDP_LMIs: compiled Newton solvers keyed by
+        # the constraint STRUCTURE (repeated identifications of the same
+        # robot/options must not recompile)
+        self._solver_cache: dict = {}
 
     # ------------------------------------------------------------------
     def initSDP_LMIs(self, idf, remove_nonid: bool = True) -> None:
@@ -321,17 +325,23 @@ class SDP:
 
         self.A = np.asarray(rows) if rows else None
         self.b = np.asarray(rhs) if rhs else None
-        # compiled-solver cache: the Newton step costs ~5 s to compile but
-        # ~1 ms to run; reuse one compilation per constraint structure
-        self._solver_cache = {}
+
+    def _structure_key(self):
+        return (
+            tuple(self.free_params),
+            tuple(sorted(self.pinned_params)),
+            self.start_link,
+            None if self.A is None else hash(self.A.tobytes()),
+            None if self.b is None else hash(self.b.tobytes()),
+            hash(self._fixed_vec.tobytes()),
+        )
 
     def _get_solver(self, A=None, b=None):
-        # b is baked into the compiled barrier, so it must be part of the key
-        key = (
-            ("main",)
-            if A is None
-            else ("ext", A.shape, hash(A.tobytes()), hash(b.tobytes()))
-        )
+        # A and b are baked into the compiled barrier: both are in the key
+        if A is None:
+            key = ("main", self._structure_key())
+        else:
+            key = ("ext", self._structure_key(), hash(A.tobytes()), hash(b.tobytes()))
         if key not in self._solver_cache:
             self._solver_cache[key] = conic.QuadBarrierSolver(
                 self.A if A is None else A,

@@ -1,0 +1,148 @@
+"""Model-layer details: joint ordering via regressor XML, skipSamples,
+regressor filtering, base equations, gravity-only mode."""
+
+import os
+
+import numpy as np
+import pytest
+
+from flobaroid_tpu.data import Data
+from flobaroid_tpu.model import Model
+from flobaroid_tpu.utils.config import load_config
+from test_identification import synth_samples
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+ARM_URDF = os.path.join(REPO, "examples", "models", "sevenlink_arm.urdf")
+
+
+def opt_base(**kw):
+    o = load_config(None)
+    o.update(
+        dict(verbose=0, useStructuralRegressor=1, randomSamples=600,
+             computeDtype="float64", floatingBase=0)
+    )
+    o.update(kw)
+    return o
+
+
+def test_regressor_xml_joint_order(tmp_path):
+    """DOF ordering from a regressor XML whitelist
+    (reference model.py:74-94)."""
+    xml = tmp_path / "regr.xml"
+    # reversed joint order
+    names = [f"arm_{i}_joint" for i in reversed(range(7))]
+    xml.write_text(
+        "<regressor>" + "".join(f"<joint>{n}</joint>" for n in names) + "</regressor>"
+    )
+    m = Model(opt_base(), ARM_URDF, regressor_file=str(xml), regressor_init=False)
+    assert m.jointNames == names
+    # torque rows follow the requested order: gravity torque of the
+    # reversed model equals reversed gravity torque of the default model
+    import jax.numpy as jnp
+
+    m2 = Model(opt_base(), ARM_URDF, regressor_init=False)
+    q = np.linspace(-0.4, 0.4, 7)
+    tau2 = np.asarray(
+        m2.engine.inverse_dynamics(
+            jnp.asarray(m2.xStdModel[: m2.num_model_params]),
+            jnp.asarray(q), jnp.zeros(7), jnp.zeros(7), floating=False,
+        )
+    )
+    tau1 = np.asarray(
+        m.engine.inverse_dynamics(
+            jnp.asarray(m.xStdModel[: m.num_model_params]),
+            jnp.asarray(q[::-1].copy()), jnp.zeros(7), jnp.zeros(7), floating=False,
+        )
+    )
+    np.testing.assert_allclose(tau1, tau2[::-1], rtol=1e-10)
+
+
+def test_skip_samples(tmp_path):
+    import shutil
+
+    urdf = str(tmp_path / "arm.urdf")
+    shutil.copy(ARM_URDF, urdf)
+    samples, _ = synth_samples(urdf, n=600, noise=0.01)
+    o = opt_base(skipSamples=2, simulateTorques=0)
+    m = Model(o, urdf)
+    d = Data(o)
+    d.init_from_data(samples)
+    assert d.num_used_samples == 200
+    m.computeRegressors(d)
+    assert m.YStd.shape[0] == 200 * 7
+    # rows correspond to every third sample
+    np.testing.assert_allclose(m.T, samples["times"][::3])
+
+
+def test_filter_regressor(tmp_path):
+    import shutil
+
+    urdf = str(tmp_path / "arm.urdf")
+    shutil.copy(ARM_URDF, urdf)
+    samples, _ = synth_samples(urdf, n=500, noise=0.01)
+    o1 = opt_base(filterRegressor=0)
+    m1 = Model(o1, urdf)
+    d1 = Data(o1)
+    d1.init_from_data(dict(samples))
+    m1.computeRegressors(d1)
+    o2 = opt_base(filterRegressor=1, filterRegCutoff=5)
+    m2 = Model(o2, urdf)
+    d2 = Data(o2)
+    d2.init_from_data(dict(samples))
+    m2.computeRegressors(d2)
+    assert m1.YBase.shape == m2.YBase.shape
+    assert not np.allclose(m1.YBase[:, 0], m2.YBase[:, 0])
+
+
+def test_base_equations_and_names():
+    m = Model(opt_base(), ARM_URDF)
+    eqs = m.base_equations_str()
+    assert len(eqs) == m.num_base_params
+    assert any("Izz" in e or "m_" in e for e in eqs)
+    assert len(m.param_names) == m.num_identified_params
+
+
+def test_gravity_only_mode(tmp_path):
+    import shutil
+
+    urdf = str(tmp_path / "arm.urdf")
+    shutil.copy(ARM_URDF, urdf)
+    # static samples: zero velocity/acceleration, gravity torques only
+    rng = np.random.default_rng(0)
+    n = 400
+    Q = rng.uniform(-1.0, 1.0, (n, 7))
+    import jax
+    import jax.numpy as jnp
+
+    from flobaroid_tpu.dynamics.engine import DynamicsEngine
+    from flobaroid_tpu.models.urdf import load_urdf
+
+    tree = load_urdf(urdf)
+    eng = DynamicsEngine(tree)
+    pi = jnp.asarray(tree.std_params())
+    tau = np.asarray(
+        jax.vmap(lambda q: eng.inverse_dynamics(pi, q, jnp.zeros(7), jnp.zeros(7), floating=False))(
+            jnp.asarray(Q)
+        )
+    ) + 0.01 * rng.standard_normal((n, 7))
+    samples = {
+        "positions": Q,
+        "velocities": np.zeros((n, 7)),
+        "accelerations": np.zeros((n, 7)),
+        "torques": tau,
+        "times": np.arange(n) / 100.0,
+        "frequency": np.float64(100.0),
+    }
+    o = opt_base(identifyGravityParamsOnly=1)
+    m = Model(o, urdf)
+    assert m.num_identified_params == 8 * 4  # m + first moments per link
+    from flobaroid_tpu.identification.identifier import Identification
+
+    idf = Identification(o, urdf)
+    idf.data.init_from_data(samples)
+    idf.estimateParameters()
+    assert idf.res_error < 3.0
+    rel = np.linalg.norm(idf.model.xBase - idf.model.xBaseModel) / np.linalg.norm(
+        idf.model.xBaseModel
+    )
+    assert rel < 0.05, rel
