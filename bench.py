@@ -65,6 +65,10 @@ def run_pipeline(idf, samples):
 def main():
     import jax
 
+    from flobaroid_tpu.utils.cli import enable_compilation_cache
+
+    enable_compilation_cache()
+
     here = os.path.dirname(os.path.abspath(__file__))
     src_urdf = os.path.join(here, "examples", "models", "sevenlink_arm.urdf")
     tmpdir = tempfile.mkdtemp(prefix="flobaroid_bench_")

@@ -137,6 +137,17 @@ class SDP:
             for i in range(m.num_links):
                 if self.linkConds[i] > opt["noChangeThresh"]:
                     params_to_skip.extend(range(i * 10, i * 10 + 10))
+        # massless virtual links (contact/attachment frames) can never
+        # satisfy a PSD constraint and are structurally non-identifiable:
+        # pin them to their (zero) a-priori values automatically. The
+        # reference expects the user to list them in dontChangeLinks;
+        # its pinned-links comment notes exactly this case (sdp.py:104-113
+        # "zero-mass virtual links").
+        for i in range(m.num_links):
+            block = m.xStdModel[i * 10 : i * 10 + 10]
+            if np.all(np.abs(block) < 1e-10):
+                params_to_skip.extend(range(i * 10, i * 10 + 10))
+
         pinned = set()
         for p in set(params_to_skip):
             if p in self.delete_cols or p in opt["dontConstrain"]:
@@ -579,6 +590,14 @@ class SDP:
         else:
             print(f"SDP solver failed ({status}), keeping a priori parameters")
             m.xStd = np.array(m.xStdModel[m.identified_params], dtype=float)
+
+    def identifyFeasibleBaseParameters(self, idf) -> None:
+        """Feasible base-parameter estimation. Like the reference
+        (sdp.py:701-706), this variant is not implemented — base
+        parameters have no direct physical-consistency cone; use
+        identifyFeasibleStandardParameters and project."""
+        print("identifyFeasibleBaseParameters is not implemented; use "
+              "identifyFeasibleStandardParameters (std cone) instead")
 
     def findFeasibleStdFromFeasibleBase(self, idf, xBase: np.ndarray) -> None:
         """Closest-to-CAD std params consistent with given base params

@@ -152,6 +152,22 @@ class Model:
         if regressor_init:
             self.computeRegressorLinDepsQR()
 
+    def getDescriptionOfParameters(self) -> str:
+        """Human-readable description of every standard parameter
+        (reference model.py:210-237)."""
+        names = [
+            "mass", "first moment of mass (x)", "first moment of mass (y)",
+            "first moment of mass (z)", "moment of inertia (xx)",
+            "moment of inertia (xy)", "moment of inertia (xz)",
+            "moment of inertia (yy)", "moment of inertia (yz)",
+            "moment of inertia (zz)",
+        ]
+        out = []
+        for i in range(self.num_links):
+            for j, n in enumerate(names):
+                out.append(f"Parameter {i * 10 + j}: {n} of link {self.linkNames[i]}")
+        return "\n".join(out) + "\n"
+
     # ------------------------------------------------------------------
     def _friction_block_names(self):
         opt = self.opt

@@ -11,20 +11,42 @@ from .config import load_config
 
 
 def setup_jax() -> None:
-    """Honor JAX_PLATFORMS from the environment.
+    """Honor JAX_PLATFORMS from the environment and enable the
+    persistent compilation cache.
 
     Some environments pre-import jax via sitecustomize with their own
     platform baked in, which silently overrides the env var. Re-apply it
     through the config API so `JAX_PLATFORMS=cpu python simulator.py ...`
-    behaves as documented."""
+    behaves as documented.
+
+    The compilation cache matters a lot here: big unrolled-tree graphs
+    (30-DOF regressor batches, suspended-base scans) take 10-600 s to
+    compile but re-load in <1 s across processes."""
+    import jax
+
     plat = os.environ.get("JAX_PLATFORMS")
     if plat:
-        import jax
-
         try:
             jax.config.update("jax_platforms", plat)
         except RuntimeError:
             pass  # backends already initialized
+    enable_compilation_cache()
+
+
+def enable_compilation_cache() -> None:
+    if os.environ.get("FLOBAROID_NO_COMPILE_CACHE"):
+        return
+    import jax
+
+    cache_dir = os.environ.get(
+        "FLOBAROID_COMPILE_CACHE", os.path.expanduser("~/.cache/flobaroid_jax")
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except (RuntimeError, OSError):
+        pass
 
 
 def base_parser(description: str) -> argparse.ArgumentParser:

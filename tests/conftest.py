@@ -20,6 +20,10 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+from flobaroid_tpu.utils.cli import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 import pathlib  # noqa: E402
 
 import pytest  # noqa: E402
