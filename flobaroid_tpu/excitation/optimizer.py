@@ -19,8 +19,6 @@ best-so-far.
 from __future__ import annotations
 
 import numpy as np
-import optax
-
 from .objective import TrajectoryObjective
 from .trajectory import FourierSpec
 

@@ -31,8 +31,6 @@ Conventions (matching the reference):
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -10,10 +10,7 @@ embedding, no external assets)."""
 
 from __future__ import annotations
 
-import base64
 import io
-from typing import Any
-
 import numpy as np
 
 from .utils import helpers

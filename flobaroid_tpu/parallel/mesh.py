@@ -12,8 +12,6 @@ O(P^2), tiny next to the sharded regressor work.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

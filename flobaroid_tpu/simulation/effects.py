@@ -21,7 +21,6 @@ custom_jvp so gradients pass through unchanged.
 
 from __future__ import annotations
 
-import xml.etree.ElementTree as ET
 from dataclasses import dataclass, field
 
 import jax
