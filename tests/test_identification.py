@@ -193,3 +193,72 @@ def test_base_wrench_two_step(threelinks_urdf, tmp_path):
     idf.estimateParameters()
     np.testing.assert_allclose(idf.postid_friction["Fc"], fric["Fc"], atol=0.1)
     np.testing.assert_allclose(idf.postid_friction["Fv"], fric["Fv"], atol=0.1)
+
+
+def test_use_apriori_error_form(kuka_tmp):
+    """useAPriori: identify the parameter error relative to CAD, then add
+    back (reference identifier.py:328-341, getBaseParamsFromParamError)."""
+    samples, _ = synth_samples(kuka_tmp, n=1500, noise=0.05, seed=41)
+    opt = base_opt(floatingBase=0, useAPriori=1)
+    idf = Identification(opt, kuka_tmp)
+    idf.data.init_from_data(dict(samples))
+    idf.estimateParameters()
+    rel = np.linalg.norm(idf.model.xBase - idf.model.xBaseModel) / np.linalg.norm(
+        idf.model.xBaseModel
+    )
+    assert rel < 0.05, rel
+    assert idf.res_error < 1.5
+
+
+def test_std_direct(kuka_tmp):
+    """Rank-truncated-SVD direct standard estimation (Gautier 2013)."""
+    samples, _ = synth_samples(kuka_tmp, n=1500, noise=0.05, seed=43)
+    opt = base_opt(floatingBase=0, estimateWith="std_direct")
+    idf = Identification(opt, kuka_tmp)
+    idf.data.init_from_data(dict(samples))
+    idf.estimateParameters()
+    assert idf.res_error < 1.5
+    assert np.all(np.isfinite(idf.model.xStd))
+
+
+def test_trajectory_weighting(threelinks_urdf, tmp_path):
+    """Per-file inverse-noise weighting of the base-wrench equations
+    (useTrajectoryWeighting; reference identifier.py:655-681)."""
+    p = tmp_path / "threeLinks.urdf"
+    shutil.copy(threelinks_urdf, p)
+    clean, _ = synth_samples(str(p), n=800, noise=0.005, floating=True, seed=51)
+    noisy, _ = synth_samples(str(p), n=800, noise=0.5, floating=True, seed=52)
+    f1 = tmp_path / "m1.npz"
+    f2 = tmp_path / "m2.npz"
+    np.savez(f1, **clean)
+    np.savez(f2, **noisy)
+
+    def run(weighting):
+        opt = base_opt(
+            floatingBase=1, useBaseWrenchForBaseParams=1, useTrajectoryWeighting=weighting
+        )
+        idf = Identification(opt, str(p))
+        idf.data.init_from_files([[str(f1)], [str(f2)]])
+        idf.estimateParameters()
+        return np.linalg.norm(idf.model.xBase - idf.model.xBaseModel) / np.linalg.norm(
+            idf.model.xBaseModel
+        )
+
+    err_plain = run(0)
+    err_weighted = run(1)
+    # weighting must not hurt, and should help when one file is junk
+    assert err_weighted <= err_plain * 1.05, (err_weighted, err_plain)
+
+
+def test_validation_path(kuka_tmp, tmp_path):
+    samples, _ = synth_samples(kuka_tmp, n=1200, noise=0.05, seed=61)
+    val, _ = synth_samples(kuka_tmp, n=600, noise=0.05, seed=62)
+    vf = tmp_path / "val.npz"
+    np.savez(vf, **val)
+    opt = base_opt(floatingBase=0)
+    idf = Identification(opt, kuka_tmp, validation_file=str(vf))
+    idf.data.init_from_data(dict(samples))
+    idf.estimateParameters()
+    idf.estimateValidationTorques()
+    assert idf.val_error < 3.0, idf.val_error
+    assert np.isfinite(idf.val_nrms)
