@@ -7,6 +7,7 @@ scenario (BASELINE.json config #5). Takes ~15 min cold on one v5e chip
 (compile-cache warm: ~8 min)."""
 import numpy as np, time, tempfile, os, shutil, sys
 import jax, jax.numpy as jnp
+from flobaroid_tpu.utils.cli import enable_compilation_cache
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from flobaroid_tpu.model import Model
@@ -16,6 +17,7 @@ from flobaroid_tpu.excitation.trajectory import fourier_traj
 from flobaroid_tpu.identification.identifier import Identification
 from simulator import simulate_measurements
 
+enable_compilation_cache()
 print("device:", jax.devices()[0], flush=True)
 tmp = tempfile.mkdtemp(); urdf = os.path.join(tmp, "humanoid30.urdf")
 shutil.copy("examples/models/humanoid30.urdf", urdf)

@@ -333,15 +333,23 @@ class QuadBarrierSolver:
             if not np.isfinite(float(self._psi(x, t, Hj, qj))):
                 return np.asarray(x), "infeasible_start"
             for _outer in range(max_outer):
+                # loose centering along the path (it re-centers every
+                # stage); full precision is enforced by the final polish
+                stage_tol = max(newton_tol, 1e-4)
                 for _it in range(max_newton):
                     x, dec, ok = self._newton(x, t, Hj, qj)
-                    if not bool(ok) or float(dec) / 2.0 < newton_tol:
+                    if not bool(ok) or float(dec) / 2.0 < stage_tol:
                         break
                 if stop_fn is not None and stop_fn(np.asarray(x)):
                     return np.asarray(x), "stopped"
                 if nu / t < gap_tol * f0_scale:
                     break
                 t *= mu
+            # final polish at the last t
+            for _it in range(max_newton):
+                x, dec, ok = self._newton(x, t, Hj, qj)
+                if not bool(ok) or float(dec) / 2.0 < newton_tol:
+                    break
             status = "optimal" if nu / t < 1e-3 * f0_scale else "max_iter"
             return np.asarray(x), status
 
