@@ -89,14 +89,21 @@ class Identification:
         m = self.model
         if not estimateWith:
             estimateWith = opt["estimateWith"]
+        streaming = m.YStd is None
         if estimateWith == "urdf":
-            tauEst = m.YStd @ m.xStdModel[m.identified_params]
+            x_id = m.xStdModel[m.identified_params]
+            tauEst = m.contract_identified(x_id).reshape(-1) if streaming else m.YStd @ x_id
         elif estimateWith == "base_essential":
             tauEst = m.YBase @ self.xBase_essential
         elif estimateWith == "base":
-            tauEst = m.YBase @ m.xBase
+            if streaming:
+                # base params expand to std space for the contraction
+                Pb = m.B if opt["useBasisProjection"] else m.Pb
+                tauEst = m.contract_identified(Pb @ m.xBase).reshape(-1)
+            else:
+                tauEst = m.YBase @ m.xBase
         elif estimateWith in ("std", "std_direct"):
-            tauEst = m.YStd @ m.xStd
+            tauEst = m.contract_identified(m.xStd).reshape(-1) if streaming else m.YStd @ m.xStd
         else:
             raise ValueError(f"unknown estimateWith: {estimateWith}")
 
@@ -157,7 +164,8 @@ class Identification:
         r = self.data.num_used_samples * (m.num_dofs + m.fb)
         rho = float(np.square(np.linalg.norm(tauDiff)))
         sigma_rho = rho / max(r - m.num_base_params, 1)
-        C_xx = sigma_rho * np.linalg.pinv(m.YBase.T @ m.YBase)
+        G_base = m.G_base if m.YBase is None else m.YBase.T @ m.YBase
+        C_xx = sigma_rho * np.linalg.pinv(G_base)
         p = np.sqrt(np.abs(np.diag(C_xx)))
         nz = m.xBase != 0
         p[nz] = p[nz] / np.abs(m.xBase[nz])
@@ -183,12 +191,19 @@ class Identification:
             else:
                 self.xBaseReal = m.K @ self.xStdReal[m.identified_params]
 
-        m.xBase = np.linalg.lstsq(YBase, tau, rcond=None)[0]
-        cf = getattr(self, "_bw_contactForcesSum", m.contactForcesSum)
-        if cf is not None and cf.shape[0] != YBase.shape[0]:
-            cf = m.contactForcesSum
-        if cf is not None and np.any(cf):
-            m.xBase -= np.linalg.pinv(YBase) @ cf
+        if YBase is None and m.YBase is None:
+            # streaming mode: normal equations from the accumulated Gram
+            # (tau = Y x + cf  =>  G x = g_tau - g_cf)
+            m.xBase = np.linalg.lstsq(
+                m.G_base, m.g_base - m.g_cf_base, rcond=None
+            )[0]
+        else:
+            m.xBase = np.linalg.lstsq(YBase, tau, rcond=None)[0]
+            cf = getattr(self, "_bw_contactForcesSum", m.contactForcesSum)
+            if cf is not None and cf.shape[0] != YBase.shape[0]:
+                cf = m.contactForcesSum
+            if cf is not None and np.any(cf):
+                m.xBase -= np.linalg.pinv(YBase) @ cf
 
         if id_only:
             return
@@ -354,8 +369,14 @@ class Identification:
         skip = int(opt["skipSamples"]) + 1
         idx = np.arange(N) * skip
 
-        num_inertial = min(m.num_model_params, m.YStd.shape[1])
-        tau_inertial = m.YStd[:, :num_inertial] @ m.xStd[:num_inertial]
+        if m.YStd is None:
+            num_inertial = min(m.num_model_params, m.num_identified_params)
+            x_in = np.zeros(m.num_identified_params)
+            x_in[:num_inertial] = m.xStd[:num_inertial]
+            tau_inertial = m.contract_identified(x_in).reshape(-1)
+        else:
+            num_inertial = min(m.num_model_params, m.YStd.shape[1])
+            tau_inertial = m.YStd[:, :num_inertial] @ m.xStd[:num_inertial]
         residual2d = (m.torques_stack - tau_inertial).reshape(N, nd + fb)
 
         vel = np.asarray(self.data.samples["velocities"])[idx, :nd]

@@ -30,6 +30,7 @@ from typing import Any
 import jax.numpy as jnp
 import numpy as np
 import numpy.linalg as la
+import scipy.linalg as sla
 
 from ..models.geometry import link_bounding_box
 from . import conic
@@ -458,11 +459,20 @@ class SDP:
         K = m.Binv if opt["useBasisProjection"] else m.K
         K = np.delete(K, self.delete_cols, axis=1)
 
-        Q, R = la.qr(m.YBase)
         nb = m.num_base_params
-        R1 = R[:nb, :nb]
-        rho1 = Q[:, :nb].T @ m.torques_stack
-        contacts = Q[:, :nb].T @ m.contactForcesSum
+        if m.YBase is None:
+            # streaming mode: R1 from the Cholesky of the base Gram
+            # (Y = Q R  =>  Y^T Y = R^T R, so chol(G)^T is a valid R),
+            # rho1 = Q^T tau = R^{-T} Y^T tau = R^{-T} g_base
+            lam = 1e-12 * max(float(np.trace(m.G_base)) / nb, 1.0)
+            R1 = sla.cholesky(m.G_base + lam * np.eye(nb), lower=False)
+            rho1 = sla.solve_triangular(R1.T, m.g_base, lower=True)
+            contacts = sla.solve_triangular(R1.T, m.g_cf_base, lower=True)
+        else:
+            Q, R = la.qr(m.YBase)
+            R1 = R[:nb, :nb]
+            rho1 = Q[:, :nb].T @ m.torques_stack
+            contacts = Q[:, :nb].T @ m.contactForcesSum
         R1_K = R1 @ K  # (nb, n_idable)
 
         # residual rows + CAD regularization rows
@@ -516,10 +526,17 @@ class SDP:
 
         scale = 1.0
         if geo_terms:
-            rho2 = float(
-                la.norm(m.torques_stack - m.contactForcesSum - m.YBase @ m.xBase) ** 2
-            )
-            scale = np.sqrt(rho2) if rho2 > 0 else 1.0
+            if m.YBase is None:
+                rho2 = float(
+                    m.tau_sq - 2 * m.tau_cf + m.cf_sq
+                    - 2 * m.xBase @ (m.g_base - m.g_cf_base)
+                    + m.xBase @ (m.G_base @ m.xBase)
+                )
+            else:
+                rho2 = float(
+                    la.norm(m.torques_stack - m.contactForcesSum - m.YBase @ m.xBase) ** 2
+                )
+            scale = np.sqrt(max(rho2, 0.0)) if rho2 > 0 else 1.0
 
         Cj = jnp.asarray(C_free / scale)
         dj = jnp.asarray(d_eff / scale)

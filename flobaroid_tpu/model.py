@@ -397,6 +397,13 @@ class Model:
         if only_simulate:
             return
 
+        if not int(opt.get("materializeRegressor", 1)):
+            # streaming mode: never materialize the stacked regressor —
+            # accumulate Y^T Y / Y^T tau / Y^T cf Gram blocks on device
+            # (BASELINE north star; SURVEY §5 long-context analogue)
+            self._compute_streaming(samples, idx, N, rows, Q, V, A, BR, BV, BA)
+            return
+
         # assemble identified columns: inertial subset + friction columns
         Yfull = Yin
         if opt["identifyGravityParamsOnly"]:
@@ -427,6 +434,188 @@ class Model:
             for j in range(nb_in):
                 for i in range(rows):
                     self.YBase[i::rows, j] = sig.filtfilt(b, a, self.YBase[i::rows, j])
+
+
+    # ------------------------------------------------------------------
+    # streaming Gram accumulation (materializeRegressor=0)
+    # ------------------------------------------------------------------
+    def _identified_columns_traced(self, Y, V, sign, vsig):
+        """Identified-column assembly as a traced function: inertial
+        subset + friction blocks (mirrors the host path)."""
+        import jax.numpy as jnp
+
+        opt = self.opt
+        nd = self.num_dofs
+        fb = self.fb
+        dt = Y.dtype
+        if opt["identifyGravityParamsOnly"]:
+            keep = jnp.asarray(
+                [p for p in range(self.num_model_params) if p % 10 < 4]
+            )
+            Y = Y[:, :, keep]
+        if opt["identifyFrictionSimultaneously"]:
+            eye = jnp.eye(nd, dtype=dt)
+            blocks = [sign[:, None, :] * eye]
+            if not opt["identifyGravityParamsOnly"]:
+                if opt["identifySymmetricVelFriction"]:
+                    blocks.append(V[:, None, :] * eye)
+                else:
+                    blocks.append(jnp.where(V > 0, V, 0.0)[:, None, :] * eye)
+                    blocks.append(jnp.where(V < 0, V, 0.0)[:, None, :] * eye)
+                blocks.append(jnp.broadcast_to(eye, (Y.shape[0], nd, nd)))
+                if opt.get("stribeckVelocity", 0) > 0:
+                    vs = float(opt["stribeckVelocity"])
+                    stri = jnp.exp(-jnp.abs(vsig) / vs) * jnp.sign(vsig)
+                    blocks.append(stri[:, None, :] * eye)
+            F = jnp.concatenate(blocks, axis=2)
+            if fb:
+                F = jnp.concatenate(
+                    [jnp.zeros((F.shape[0], fb, F.shape[2]), dt), F], axis=1
+                )
+            Y = jnp.concatenate([Y, F], axis=2)
+        return Y
+
+    def _streaming_fns(self, floating: bool):
+        key = ("stream", floating)
+        if key not in self._regr_jit_cache:
+            import jax
+            import jax.numpy as jnp
+
+            eng = self.engine
+
+            def build_Y(Q, V, A, BR, BV, BA, sign, vsig):
+                if floating:
+                    Y = eng.regressor_batch(Q, V, A, BR, BV, BA)
+                else:
+                    Y = eng.regressor_batch(Q, V, A)
+                return self._identified_columns_traced(Y, V, sign, vsig)
+
+            def gram_chunk(Q, V, A, BR, BV, BA, sign, vsig, tau, cf, mask):
+                Y = build_Y(Q, V, A, BR, BV, BA, sign, vsig)
+                P = Y.shape[-1]
+                Yf = Y.reshape(-1, P) * mask.reshape(-1)[:, None]
+                G = jnp.einsum("mp,mq->pq", Yf, Yf,
+                               precision=jax.lax.Precision.HIGHEST)
+                g = jnp.einsum("mp,m->p", Yf, tau.reshape(-1),
+                               precision=jax.lax.Precision.HIGHEST)
+                gcf = jnp.einsum("mp,m->p", Yf, cf.reshape(-1),
+                                 precision=jax.lax.Precision.HIGHEST)
+                return G, g, gcf
+
+            def contract_chunk(Q, V, A, BR, BV, BA, sign, vsig, x):
+                Y = build_Y(Q, V, A, BR, BV, BA, sign, vsig)
+                return jnp.einsum("nrp,p->nr", Y, x,
+                                  precision=jax.lax.Precision.HIGHEST)
+
+            self._regr_jit_cache[key] = (jax.jit(gram_chunk), jax.jit(contract_chunk))
+        return self._regr_jit_cache[key]
+
+    def _stream_inputs(self, samples, idx, Q, V, A, BR, BV, BA):
+        from .utils import helpers as H
+
+        nd = self.num_dofs
+        sign = H.get_friction_sign_series(samples, self.opt)[idx, :nd]
+        vsig = H.get_friction_sign_velocities(samples, self.opt)[idx, :nd]
+        return sign, vsig
+
+    def _compute_streaming(self, samples, idx, N, rows, Q, V, A, BR, BV, BA):
+        import jax.numpy as jnp
+
+        opt = self.opt
+        if opt["useWLS"] or opt["useEssentialParams"] or opt["estimateWith"] == "std_direct" or opt["filterRegressor"]:
+            raise ValueError(
+                "materializeRegressor=0 supports the OLS/SDP paths; "
+                "WLS/essential/std_direct/filterRegressor need the stacked regressor"
+            )
+        dt = self._compute_dtype()
+        floating = bool(opt["floatingBase"])
+        gram_chunk, _ = self._streaming_fns(floating)
+        sign, vsig = self._stream_inputs(samples, idx, Q, V, A, BR, BV, BA)
+        tau2d = self.tau.reshape(N, rows)
+        cf2d = self.contactForcesSum.reshape(N, rows)
+
+        chunk = int(opt.get("gramChunk", 4096))
+        P = self.num_identified_params
+        G = np.zeros((P, P))
+        g = np.zeros(P)
+        gcf = np.zeros(P)
+
+        def pad(a, c):
+            r = (-len(a)) % c
+            if r == 0:
+                return a
+            return np.concatenate([a, np.zeros((r,) + a.shape[1:], a.dtype)], axis=0)
+
+        n_pad = ((N + chunk - 1) // chunk) * chunk
+        maskN = pad(np.ones((N, rows)), chunk)
+        arrays = [pad(np.asarray(a), chunk) if a is not None else None
+                  for a in (Q, V, A, BR, BV, BA, sign, vsig, tau2d, cf2d)]
+        for s0 in range(0, n_pad, chunk):
+            sl = slice(s0, s0 + chunk)
+            args = [
+                jnp.asarray(a[sl], dt) if a is not None else None for a in arrays
+            ]
+            Gc, gc, gcfc = gram_chunk(*args[:8], args[8], args[9],
+                                      jnp.asarray(maskN[sl], dt))
+            G += np.asarray(Gc, dtype=float)
+            g += np.asarray(gc, dtype=float)
+            gcf += np.asarray(gcfc, dtype=float)
+
+        self.YStd = None
+        self.YBase = None
+        self.G_std = G
+        self.g_tau = g
+        self.g_cf = gcf
+        self.tau_sq = float(self.tau @ self.tau)
+        self.tau_cf = float(self.tau @ self.contactForcesSum)
+        self.cf_sq = float(self.contactForcesSum @ self.contactForcesSum)
+
+        if not opt["useStructuralRegressor"]:
+            # the Gram shares the regressor's column dependencies
+            self.computeRegressorLinDepsQR(G)
+
+        Pb = self.B if opt["useBasisProjection"] else self.Pb
+        self.G_base = Pb.T @ G @ Pb
+        self.g_base = Pb.T @ g
+        self.g_cf_base = Pb.T @ gcf
+
+    def contract_identified(self, x_identified) -> np.ndarray:
+        """tau_hat = Y @ x recomputed on device in chunks (streaming mode,
+        where YStd is never materialized). Returns (N, rows)."""
+        import jax.numpy as jnp
+
+        opt = self.opt
+        data = self.data
+        N = data.num_used_samples
+        rows = self.num_dofs + self.fb
+        skip = int(opt["skipSamples"])
+        idx = np.arange(N) * (skip + 1)
+        samples = data.samples
+        Q, V, A, BR, BV, BA = self._gather_state(samples, idx)
+        sign, vsig = self._stream_inputs(samples, idx, Q, V, A, BR, BV, BA)
+        _, contract = self._streaming_fns(bool(opt["floatingBase"]))
+        dt = self._compute_dtype()
+        chunk = int(opt.get("gramChunk", 4096))
+        out = np.zeros((N, rows))
+
+        def pad(a, c):
+            r = (-len(a)) % c
+            if r == 0:
+                return a
+            return np.concatenate([a, np.zeros((r,) + a.shape[1:], a.dtype)], axis=0)
+
+        n_pad = ((N + chunk - 1) // chunk) * chunk
+        arrays = [pad(np.asarray(a), chunk) if a is not None else None
+                  for a in (Q, V, A, BR, BV, BA, sign, vsig)]
+        xj = jnp.asarray(x_identified, dt)
+        for s0 in range(0, n_pad, chunk):
+            sl = slice(s0, s0 + chunk)
+            args = [jnp.asarray(a[sl], dt) if a is not None else None for a in arrays]
+            res = np.asarray(contract(*args, xj), dtype=float)
+            hi = min(s0 + chunk, N)
+            if s0 < N:
+                out[s0:hi] = res[: hi - s0]
+        return out
 
     def _contact_jacobians(self, link_index: int, Q: np.ndarray, BR):
         eng = self.engine

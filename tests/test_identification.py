@@ -262,3 +262,41 @@ def test_validation_path(kuka_tmp, tmp_path):
     idf.estimateValidationTorques()
     assert idf.val_error < 3.0, idf.val_error
     assert np.isfinite(idf.val_nrms)
+
+
+def test_streaming_gram_matches_materialized(kuka_tmp):
+    """materializeRegressor=0: OLS and SDP from accumulated Gram blocks
+    must match the materialized-regressor results."""
+    samples, _ = synth_samples(kuka_tmp, n=1200, noise=0.05, seed=71)
+    base = dict(
+        floatingBase=0,
+        constrainToConsistent=1,
+        limitOverallMass=1,
+        limitMassRange=1.0,
+        limitMassToApriori=1,
+        limitMassAprioriBoundary=0.3,
+    )
+    opt_m = base_opt(**base, materializeRegressor=1)
+    idf_m = Identification(opt_m, kuka_tmp)
+    idf_m.data.init_from_data(dict(samples))
+    idf_m.estimateParameters()
+
+    opt_s = base_opt(**base, materializeRegressor=0, gramChunk=256)
+    idf_s = Identification(opt_s, kuka_tmp)
+    idf_s.data.init_from_data(dict(samples))
+    idf_s.estimateParameters()
+
+    assert idf_s.model.YStd is None  # truly streamed
+    np.testing.assert_allclose(idf_s.model.xBase, idf_m.model.xBase, rtol=1e-6, atol=1e-8)
+    # the SDP decomposition in weakly-determined null directions depends
+    # on the finite barrier gap; compare the identifiable projection and
+    # the fit, and bound the std difference loosely
+    K = idf_m.model.K
+    np.testing.assert_allclose(
+        K @ np.asarray(idf_s.model.xStd), K @ np.asarray(idf_m.model.xStd),
+        rtol=1e-3, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        idf_s._full_xstd(), idf_m._full_xstd(), atol=0.05
+    )
+    assert abs(idf_s.res_error - idf_m.res_error) < 0.05
