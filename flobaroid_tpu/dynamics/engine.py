@@ -119,6 +119,18 @@ class DynamicsEngine:
                     mask[i, dj] = 1.0
         self.ancestor_mask = mask
 
+        # depth levels for the level-synchronous FK: all links at one
+        # tree depth transform in a single vectorized step, so the traced
+        # graph scales with tree DEPTH, not link count (compile-time
+        # matters: a 34-link humanoid has depth ~9)
+        depth = np.zeros(L, dtype=int)
+        for i in self.topo:
+            pa = int(self.parent[i])
+            depth[i] = 0 if pa < 0 else depth[pa] + 1
+        self.levels = [
+            np.where(depth == d)[0] for d in range(int(depth.max()) + 1)
+        ]
+
     # ------------------------------------------------------------------
     # kinematics
     # ------------------------------------------------------------------
@@ -128,31 +140,36 @@ class DynamicsEngine:
 
         q: (n,). Returns (R, p): (L,3,3) link orientations and (L,3)
         link origins relative to the base link frame.
-        """
+
+        Level-synchronous formulation: all links at one tree depth are
+        transformed in a single batched step (gathered parents), so the
+        traced graph scales with tree depth rather than link count."""
         dtype = q.dtype
-        Rs = [None] * self.num_links
-        ps = [None] * self.num_links
-        eye = jnp.eye(3, dtype=dtype)
-        zero3 = jnp.zeros(3, dtype=dtype)
-        for i in self.topo:
-            par = int(self.parent[i])
-            if par < 0:
-                Rs[i], ps[i] = eye, zero3
-                continue
-            R0 = jnp.asarray(self.R0[i], dtype=dtype)
-            p0 = jnp.asarray(self.p0[i], dtype=dtype)
-            ax = jnp.asarray(self.axis[i], dtype=dtype)
-            jt = int(self.jtype[i])
-            dj = int(self.dof_of_link[i])
-            Rj = R0
-            pj = p0
-            if jt == 1:  # revolute
-                Rj = R0 @ sp.axis_angle_rot(ax, q[dj])
-            elif jt == 2:  # prismatic
-                pj = p0 + R0 @ (ax * q[dj])
-            Rs[i] = Rs[par] @ Rj
-            ps[i] = ps[par] + Rs[par] @ pj
-        return jnp.stack(Rs), jnp.stack(ps)
+        L = self.num_links
+        R = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (L, 3, 3))
+        p = jnp.zeros((L, 3), dtype=dtype)
+        for idx in self.levels[1:]:
+            par = self.parent[idx]
+            R0 = jnp.asarray(self.R0[idx], dtype=dtype)  # (k,3,3)
+            p0 = jnp.asarray(self.p0[idx], dtype=dtype)  # (k,3)
+            ax = jnp.asarray(self.axis[idx], dtype=dtype)
+            jt = self.jtype[idx]
+            dj = np.maximum(self.dof_of_link[idx], 0)
+            has_dof = (self.dof_of_link[idx] >= 0).astype(float)
+            qj = q[jnp.asarray(dj)] * jnp.asarray(has_dof, dtype=dtype)
+            is_rev = jnp.asarray((jt == 1).astype(float), dtype=dtype)[:, None, None]
+            is_pri = jnp.asarray((jt == 2).astype(float), dtype=dtype)[:, None]
+            Rrot = sp.axis_angle_rot(ax, qj)  # (k,3,3)
+            Rj = jnp.einsum("kij,kjl->kil", R0, Rrot)
+            Rj = is_rev * Rj + (1.0 - is_rev) * R0
+            pj = p0 + is_pri * jnp.einsum("kij,kj->ki", R0, ax * qj[:, None])
+            Rpar = R[jnp.asarray(par)]
+            ppar = p[jnp.asarray(par)]
+            Rnew = jnp.einsum("kij,kjl->kil", Rpar, Rj)
+            pnew = ppar + jnp.einsum("kij,kj->ki", Rpar, pj)
+            R = R.at[jnp.asarray(idx)].set(Rnew)
+            p = p.at[jnp.asarray(idx)].set(pnew)
+        return R, p
 
     def _world_kinematics(self, q, dq, ddq, base_rot, base_vel, base_acc):
         """Shared kinematics: world-frame link poses, per-dof motion
