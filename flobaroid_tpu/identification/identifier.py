@@ -191,14 +191,29 @@ class Identification:
             else:
                 self.xBaseReal = m.K @ self.xStdReal[m.identified_params]
 
+        # singular-value cutoff tied to the device compute dtype: entries
+        # produced on TPU in f32 carry a ~eps(f32)*scale noise floor, so
+        # an f64-machine-precision cutoff would keep pure-noise null
+        # directions. Directions ABOVE this cutoff but weakly excited
+        # still amplify f32 noise — that is a data-conditioning problem
+        # the trajectory optimizer / SDP consistency step address, not a
+        # cutoff problem.
+        rcond = (
+            None
+            if m._compute_dtype() == np.float64
+            else float(100 * np.finfo(np.float32).eps)
+        )
         if YBase is None and m.YBase is None:
             # streaming mode: normal equations from the accumulated Gram
-            # (tau = Y x + cf  =>  G x = g_tau - g_cf)
+            # (tau = Y x + cf  =>  G x = g_tau - g_cf); the Gram squares
+            # the conditioning, so square the cutoff too
             m.xBase = np.linalg.lstsq(
-                m.G_base, m.g_base - m.g_cf_base, rcond=None
+                m.G_base,
+                m.g_base - m.g_cf_base,
+                rcond=None if rcond is None else rcond**2,
             )[0]
         else:
-            m.xBase = np.linalg.lstsq(YBase, tau, rcond=None)[0]
+            m.xBase = np.linalg.lstsq(YBase, tau, rcond=rcond)[0]
             cf = getattr(self, "_bw_contactForcesSum", m.contactForcesSum)
             if cf is not None and cf.shape[0] != YBase.shape[0]:
                 cf = m.contactForcesSum
@@ -227,6 +242,16 @@ class Identification:
             )
             sigma_ch = np.sqrt(np.mean(res**2, axis=0))
             w_ch = 1.0 / np.maximum(sigma_ch, 1e-12)
+            if m.YBase is None:
+                # streaming mode: sigmas come from the streamed residual
+                # above (tauEstimated is recomputed chunkwise on device);
+                # NOT from Gram identities — those cancel catastrophically
+                # in f32 (residual power is a tiny difference of huge
+                # accumulated scalars; measured 136% error on TPU).
+                # Reweighting is a rescale of the per-channel Gram blocks.
+                m._set_streaming_aggregates(w_ch**2)
+                self.identifyBaseParameters(id_only=True)
+                return
             W = np.tile(w_ch, self.data.num_used_samples)
             m.YBase = m.YBase * W[:, None]
             m.tau = m.tau * W

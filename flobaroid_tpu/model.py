@@ -491,14 +491,16 @@ class Model:
                 return self._identified_columns_traced(Y, V, sign, vsig)
 
             def gram_chunk(Q, V, A, BR, BV, BA, sign, vsig, tau, cf, mask):
+                # per-output-channel Grams (r = wrench axis / joint): the
+                # channel axis costs nothing extra in FLOPs and enables
+                # WLS reweighting without a second data pass
                 Y = build_Y(Q, V, A, BR, BV, BA, sign, vsig)
-                P = Y.shape[-1]
-                Yf = Y.reshape(-1, P) * mask.reshape(-1)[:, None]
-                G = jnp.einsum("mp,mq->pq", Yf, Yf,
+                Yw = Y * mask[:, :, None]
+                G = jnp.einsum("nrp,nrq->rpq", Yw, Yw,
                                precision=jax.lax.Precision.HIGHEST)
-                g = jnp.einsum("mp,m->p", Yf, tau.reshape(-1),
+                g = jnp.einsum("nrp,nr->rp", Yw, tau,
                                precision=jax.lax.Precision.HIGHEST)
-                gcf = jnp.einsum("mp,m->p", Yf, cf.reshape(-1),
+                gcf = jnp.einsum("nrp,nr->rp", Yw, cf,
                                  precision=jax.lax.Precision.HIGHEST)
                 return G, g, gcf
 
@@ -522,10 +524,10 @@ class Model:
         import jax.numpy as jnp
 
         opt = self.opt
-        if opt["useWLS"] or opt["useEssentialParams"] or opt["estimateWith"] == "std_direct" or opt["filterRegressor"]:
+        if opt["useEssentialParams"] or opt["estimateWith"] == "std_direct" or opt["filterRegressor"]:
             raise ValueError(
-                "materializeRegressor=0 supports the OLS/SDP paths; "
-                "WLS/essential/std_direct/filterRegressor need the stacked regressor"
+                "materializeRegressor=0 supports the OLS/WLS/SDP paths; "
+                "essential/std_direct/filterRegressor need the stacked regressor"
             )
         dt = self._compute_dtype()
         floating = bool(opt["floatingBase"])
@@ -536,9 +538,9 @@ class Model:
 
         chunk = int(opt.get("gramChunk", 4096))
         P = self.num_identified_params
-        G = np.zeros((P, P))
-        g = np.zeros(P)
-        gcf = np.zeros(P)
+        G = np.zeros((rows, P, P))
+        g = np.zeros((rows, P))
+        gcf = np.zeros((rows, P))
 
         def pad(a, c):
             r = (-len(a)) % c
@@ -563,21 +565,36 @@ class Model:
 
         self.YStd = None
         self.YBase = None
-        self.G_std = G
-        self.g_tau = g
-        self.g_cf = gcf
-        self.tau_sq = float(self.tau @ self.tau)
-        self.tau_cf = float(self.tau @ self.contactForcesSum)
-        self.cf_sq = float(self.contactForcesSum @ self.contactForcesSum)
+        # per-channel quantities (for WLS reweighting) + aggregates
+        self.G_rows, self.g_rows, self.gcf_rows = G, g, gcf
+        self.tau_sq_rows = (tau2d**2).sum(axis=0)
+        self.tau_cf_rows = (tau2d * cf2d).sum(axis=0)
+        self.cf_sq_rows = (cf2d**2).sum(axis=0)
+        self._set_streaming_aggregates(np.ones(rows))
 
         if not opt["useStructuralRegressor"]:
             # the Gram shares the regressor's column dependencies
-            self.computeRegressorLinDepsQR(G)
+            self.computeRegressorLinDepsQR(self.G_std)
+            self._set_streaming_aggregates(np.ones(rows))
 
+    def _set_streaming_aggregates(self, w2) -> None:
+        """Aggregate the per-channel Grams with channel weights² `w2`
+        (w2=1: plain OLS aggregation; WLS rescales every equation row of
+        channel r by w_r, which multiplies its Gram contribution by
+        w_r²). Refreshes both std- and base-space quantities."""
+        opt = self.opt
+        w2 = np.asarray(w2, dtype=float)
+        self.G_std = np.einsum("r,rpq->pq", w2, self.G_rows)
+        self.g_tau = w2 @ self.g_rows
+        self.g_cf = w2 @ self.gcf_rows
+        self.tau_sq = float(w2 @ self.tau_sq_rows)
+        self.tau_cf = float(w2 @ self.tau_cf_rows)
+        self.cf_sq = float(w2 @ self.cf_sq_rows)
         Pb = self.B if opt["useBasisProjection"] else self.Pb
-        self.G_base = Pb.T @ G @ Pb
-        self.g_base = Pb.T @ g
-        self.g_cf_base = Pb.T @ gcf
+        self.G_base = Pb.T @ self.G_std @ Pb
+        self.g_base = Pb.T @ self.g_tau
+        self.g_cf_base = Pb.T @ self.g_cf
+
 
     def contract_identified(self, x_identified) -> np.ndarray:
         """tau_hat = Y @ x recomputed on device in chunks (streaming mode,

@@ -300,3 +300,30 @@ def test_streaming_gram_matches_materialized(kuka_tmp):
         idf_s._full_xstd(), idf_m._full_xstd(), atol=0.05
     )
     assert abs(idf_s.res_error - idf_m.res_error) < 0.05
+
+
+def test_streaming_wls_matches_materialized(kuka_tmp):
+    """materializeRegressor=0 + useWLS: the per-channel Gram reweighting
+    must reproduce the materialized WLS base solution."""
+    samples, _ = synth_samples(kuka_tmp, n=1200, noise=0.05, seed=73)
+    # heteroscedastic noise so WLS actually changes the answer
+    rng = np.random.default_rng(5)
+    tq = np.array(samples["torques"])
+    tq[:, 0] += rng.normal(0, 2.0, tq.shape[0])
+    samples = dict(samples)
+    samples["torques"] = tq
+
+    opt_m = base_opt(floatingBase=0, useWLS=1, materializeRegressor=1)
+    idf_m = Identification(opt_m, kuka_tmp)
+    idf_m.data.init_from_data(dict(samples))
+    idf_m.estimateParameters()
+
+    opt_s = base_opt(floatingBase=0, useWLS=1, materializeRegressor=0, gramChunk=256)
+    idf_s = Identification(opt_s, kuka_tmp)
+    idf_s.data.init_from_data(dict(samples))
+    idf_s.estimateParameters()
+
+    assert idf_s.model.YStd is None
+    np.testing.assert_allclose(
+        idf_s.model.xBase, idf_m.model.xBase, rtol=1e-4, atol=1e-6
+    )
