@@ -405,6 +405,77 @@ class CollisionModel:
 
         return fn
 
+    def trajectory_constraint_fn(
+        self, step: int = 3, n_transition: int = 10, n_poses: int = 6
+    ):
+        """Full reference-parity collision constraint (reference
+        trajectoryOptimizer.py:340-437): periodic samples are checked
+        against their own (swung) base pose, and the minimum-jerk
+        transition ramps from/to the zero posture are checked against
+        representative base poses sampled from the periodic motion plus
+        the extreme-swing pose (the suspension decays much slower than
+        the ramp, so the base keeps swinging during transitions).
+
+        Returns fn(Q, base_rot=None, base_pos=None) -> g (n_pairs,)
+        with g = -(min clearance); fully traced and differentiable."""
+
+        def fn(Q, base_rot=None, base_pos=None):
+            Qs = Q[::step]
+            if base_rot is not None:
+                BRs = base_rot[::step]
+                BPs = (
+                    base_pos[::step]
+                    if base_pos is not None
+                    else jnp.zeros((Qs.shape[0], 3), Q.dtype)
+                )
+                D = jax.vmap(self.distances)(Qs, BRs, BPs)
+            else:
+                D = jax.vmap(lambda q: self.distances(q))(Qs)
+            dmin = jnp.min(D, axis=0)
+
+            if n_transition > 0:
+                # quintic min-jerk time scaling: with a zero start
+                # posture the ramp configurations are s_k * q_boundary
+                taus = (jnp.arange(1, n_transition + 1, dtype=Q.dtype)) / (
+                    n_transition + 1
+                )
+                s = 10.0 * taus**3 - 15.0 * taus**4 + 6.0 * taus**5
+                Qt = jnp.concatenate(
+                    [s[:, None] * Q[0][None, :], s[:, None] * Q[-1][None, :]]
+                )
+                if base_rot is not None:
+                    N = base_rot.shape[0]
+                    idx = np.linspace(0, N - 1, n_poses).astype(int)
+                    # extreme swing = largest rotation angle from identity
+                    # (traced argmax; the reference uses max |rpy| sum)
+                    ang = jnp.arccos(
+                        jnp.clip(
+                            (jnp.trace(base_rot, axis1=1, axis2=2) - 1.0) / 2.0,
+                            -1.0,
+                            1.0,
+                        )
+                    )
+                    ext = jnp.argmax(ang)
+                    PR = jnp.concatenate([base_rot[idx], base_rot[ext][None]])
+                    bp = (
+                        base_pos
+                        if base_pos is not None
+                        else jnp.zeros((N, 3), Q.dtype)
+                    )
+                    PP = jnp.concatenate([bp[idx], bp[ext][None]])
+                    Dt = jax.vmap(
+                        lambda q: jax.vmap(lambda r, p: self.distances(q, r, p))(
+                            PR, PP
+                        )
+                    )(Qt)
+                    dmin = jnp.minimum(dmin, jnp.min(Dt, axis=(0, 1)))
+                else:
+                    Dt = jax.vmap(lambda q: self.distances(q))(Qt)
+                    dmin = jnp.minimum(dmin, jnp.min(Dt, axis=0))
+            return -dmin
+
+        return fn
+
     # ------------------------------------------------------------------
     # CollisionChecker parity (reference identification/collision.py:19)
     # ------------------------------------------------------------------

@@ -133,6 +133,16 @@ class TrajectoryObjective:
         floating = self.floating
         fbr = 6 if floating else 0
         extra_fn = self.extra_constraints_fn
+        extra_takes_base = False
+        if extra_fn is not None:
+            import inspect
+
+            try:
+                extra_takes_base = (
+                    len(inspect.signature(extra_fn).parameters) >= 3
+                )
+            except (TypeError, ValueError):
+                extra_takes_base = False
 
         suspended = self.suspended
         att_rpy0 = (
@@ -145,7 +155,7 @@ class TrajectoryObjective:
             if floating:
                 N = Q.shape[0]
                 if suspended is not None:
-                    rpy_s, _, vel_s = suspended.simulate_core(Q, V, A, att_rpy0, dt_samp)
+                    rpy_s, pos_s, vel_s = suspended.simulate_core(Q, V, A, att_rpy0, dt_samp)
                     acc_s = suspended.acceleration_from_velocity(vel_s, dt_samp)
                     # storage convention: world_R_base = RPY(rpy)^T
                     from ..dynamics import spatial as sp
@@ -219,7 +229,16 @@ class TrajectoryObjective:
             if self.min_torque_util > 0:
                 g.append(tau_lim * self.min_torque_util - tau_absmax)
             if extra_fn is not None:
-                g.append(extra_fn(Q))
+                if extra_takes_base:
+                    # pass the simulated (swung) base poses so collision
+                    # constraints see the real world-frame link poses
+                    # (reference trajectoryOptimizer.py:356-359)
+                    if floating and suspended is not None:
+                        g.append(extra_fn(Q, BR, pos_s))
+                    else:
+                        g.append(extra_fn(Q, None, None))
+                else:
+                    g.append(extra_fn(Q))
             g = jnp.concatenate(g)
 
             # soft costs (reference trajectoryOptimizer.py:445-499)

@@ -175,7 +175,33 @@ def optimize_trajectory(model, config, yty_prior=None, seeds=None, rng=None):
     )
     # bounded tanh mode guarantees position limits by construction
     spec = FourierSpec(nf=nf, limits=limits)
-    obj = TrajectoryObjective(model, config, spec, yty_prior=yty_prior)
+
+    # collision constraints (one per pair, reference
+    # trajectoryOptimizer.py:340-437): periodic part at swung base
+    # poses + min-jerk transition ramps at representative poses
+    extra_fn = None
+    if config.get("checkCollisions", 1):
+        from ..collision import CollisionModel
+        from ..models.urdf import load_urdf
+
+        world_tree = (
+            load_urdf(config["worldUrdf"]) if config.get("worldUrdf") else None
+        )
+        cm = CollisionModel(model.tree, model.engine, config, world_tree=world_tree)
+        if cm.num_pairs:
+            n_trans = (
+                int(config.get("transitionCollisionSamples", 10))
+                if float(config.get("transitionDuration", 3.0)) > 0
+                else 0
+            )
+            extra_fn = cm.trajectory_constraint_fn(
+                step=int(config.get("collisionCheckStep", 3)),
+                n_transition=n_trans,
+            )
+
+    obj = TrajectoryObjective(
+        model, config, spec, yty_prior=yty_prior, extra_constraints_fn=extra_fn
+    )
     x0 = initial_candidate(spec, config, rng)
     obj.calibrate_scale(x0)
 

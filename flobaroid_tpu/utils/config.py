@@ -33,6 +33,11 @@ DEFAULTS: dict[str, Any] = {
     "transparentLinks": [],
     "ignoreLinksForCollision": [],
     "ignoreLinkPairsForCollision": [],
+    "checkCollisions": 1,
+    "collisionCheckStep": 3,
+    "transitionCollisionSamples": 10,
+    "transitionDuration": 3.0,
+    "worldUrdf": None,
     "trajectoryPulseInit": 0.5,
     "trajectoryPulseMin": 0.3,
     "trajectoryPulseMax": 1.0,

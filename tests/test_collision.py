@@ -149,3 +149,51 @@ def test_collision_constraint_in_objective():
         # gradient flows through the collision constraints
         _, grad = obj.penalized_value_and_grad(x0, 100.0)
         assert np.all(np.isfinite(grad))
+
+
+def test_transition_collision_constraints():
+    """Reference parity (trajectoryOptimizer.py:361-437): the min-jerk
+    ramp configurations and representative swung base poses are included
+    in the per-pair clearance constraint."""
+    tree = load_urdf(ARM_URDF)
+    eng = DynamicsEngine(tree)
+    world = load_urdf(WORLD_URDF)
+    cfg = load_config(None)
+    cm = CollisionModel(tree, eng, cfg, world_tree=world)
+
+    # periodic part stays safely up; the boundary config dives toward
+    # the floor, so only the ramp samples see the close approach
+    nd = tree.num_dofs
+    N = 40
+    Q = np.zeros((N, nd))
+    Q[:, 1] = 0.3 + 0.1 * np.sin(np.linspace(0, 2 * np.pi, N))
+    Q[0, 1] = Q[-1, 1] = 2.4  # deep bend at the boundaries
+
+    g_plain = np.asarray(cm.constraint_fn(step=1)(jnp.asarray(Q)))
+    fn = cm.trajectory_constraint_fn(step=1, n_transition=8)
+    g_trans = np.asarray(fn(jnp.asarray(Q)))
+    assert g_trans.shape == (cm.num_pairs,)
+    # more configurations can only reduce clearance (raise g)
+    assert np.all(g_trans >= g_plain - 1e-9)
+
+    # swung base poses: tilt the base 60 deg so the arm sweeps toward
+    # the floor in world frame — constraint must tighten vs upright
+    th = np.deg2rad(60.0)
+    Rt = np.array(
+        [[1, 0, 0], [0, np.cos(th), -np.sin(th)], [0, np.sin(th), np.cos(th)]]
+    )
+    BR = np.tile(np.eye(3), (N, 1, 1))
+    BR[N // 2] = Rt  # one strongly swung sample
+    BP = np.zeros((N, 3))
+    g_swung = np.asarray(fn(jnp.asarray(Q), jnp.asarray(BR), jnp.asarray(BP)))
+    # the extreme swung pose is detected (largest rotation angle) and the
+    # ramp configs re-checked against it: some floor pair must tighten,
+    # and since the identity poses stay in the checked set, no pair's
+    # ramp clearance may loosen
+    floor = np.array([b == "floor" for (a, b) in cm.pair_names])
+    assert np.any(g_swung[floor] > g_trans[floor] + 1e-3)
+    assert np.all(g_swung[floor] >= g_trans[floor] - 1e-9)
+
+    # differentiable end-to-end
+    grad = jax.grad(lambda Q_: jnp.sum(fn(Q_)))(jnp.asarray(Q))
+    assert np.all(np.isfinite(np.asarray(grad)))

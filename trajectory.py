@@ -79,6 +79,8 @@ def main():
     p.add_argument("--world", help="world URDF for collision checks")
     args = p.parse_args()
     config = load_cli_config(args)
+    if args.world:
+        config["worldUrdf"] = args.world
 
     from flobaroid_tpu.excitation.optimizer import optimize_trajectory
     from flobaroid_tpu.excitation.trajectory import minimum_jerk_transition
