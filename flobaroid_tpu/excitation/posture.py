@@ -22,8 +22,15 @@ import numpy as np
 import optax
 
 
-def optimize_postures(model, config, x_base_real=None, rng=None):
-    """Returns a list of `numStaticPostures` joint-angle vectors."""
+def optimize_postures(model, config, x_std_real=None, rng=None):
+    """Returns a list of `numStaticPostures` joint-angle vectors.
+
+    With `x_std_real` (ground-truth std params over the model's 10L
+    inertial slots, reference --model_real) the objective switches to
+    the reference's ||xBaseReal - xBase||^2 with the identification run
+    inside the loop; requires the model to be built with
+    identifyGravityParamsOnly=1 and no simultaneous friction so the
+    identified columns are exactly the gravity columns."""
     rng = rng or np.random.default_rng(int(config.get("trajectoryOptSeed", 0)))
     eng = model.engine
     nd = model.num_dofs
@@ -36,7 +43,12 @@ def optimize_postures(model, config, x_base_real=None, rng=None):
 
     keep = [p for p in range(model.num_model_params) if p % 10 < 4]
     keep_j = jnp.asarray(keep)
-    Pb = jnp.asarray(model.Pb, jnp.float32) if hasattr(model, "Pb") else None
+    proj = (
+        getattr(model, "B", None)
+        if config.get("useBasisProjection", 0)
+        else getattr(model, "Pb", None)
+    )
+    Pb = jnp.asarray(proj, jnp.float32) if proj is not None else None
     floating = bool(config["floatingBase"])
 
     def gram(Qs):
@@ -56,8 +68,57 @@ def optimize_postures(model, config, x_base_real=None, rng=None):
         Yf = Y.reshape(-1, Y.shape[-1])
         return jnp.einsum("mp,mq->pq", Yf, Yf, precision=jax.lax.Precision.HIGHEST)
 
+    def raw_rows(Qs):
+        """Gravity-regressor rows (N*rows, P_keep), zero vel/acc."""
+        Z = jnp.zeros_like(Qs)
+        if floating:
+            N = Qs.shape[0]
+            Y = eng.regressor_batch(
+                Qs, Z, Z,
+                jnp.broadcast_to(jnp.eye(3, dtype=Qs.dtype), (N, 3, 3)),
+                jnp.zeros((N, 6), Qs.dtype),
+                jnp.zeros((N, 6), Qs.dtype),
+            )
+        else:
+            Y = eng.regressor_batch(Qs, Z, Z)
+        Y = Y[:, :, keep_j]
+        return Y.reshape(-1, Y.shape[-1])
+
+    # reference-parity objective (postureOptimizer.py:93-180): simulate
+    # torques with the REAL parameters, run the identification on the
+    # candidate postures, minimize ||xBaseReal - xBase||^2. With exact
+    # simulated torques and OLS this whole inner loop is one traceable
+    # ridge solve — no per-candidate host identification like the
+    # reference's Optuna loop.
+    parity = x_std_real is not None
+    if parity:
+        if Pb is None or Pb.shape[0] != len(keep):
+            raise ValueError(
+                "posture parity objective needs identifyGravityParamsOnly=1 "
+                "(and identifyFrictionSimultaneously=0) so the base "
+                "projection covers exactly the gravity columns "
+                f"(Pb rows {None if Pb is None else Pb.shape[0]} != {len(keep)})"
+            )
+        pi_real_np = np.asarray(x_std_real, dtype=float)[keep]
+        if config.get("useBasisProjection", 0):
+            xb_real_np = pi_real_np @ np.asarray(model.B)
+        else:
+            xb_real_np = np.asarray(model.K) @ pi_real_np
+        xb_real = jnp.asarray(xb_real_np, jnp.float32)
+        pi_real = jnp.asarray(pi_real_np, jnp.float32)
+
     def objective(flat):
         Qs = flat.reshape(n_post, nd)
+        if parity:
+            Yf = raw_rows(Qs)
+            YB = Yf @ Pb
+            tau = Yf @ pi_real
+            GB = YB.T @ YB
+            ridge = 1e-8 * jnp.trace(GB) / GB.shape[0]
+            xb = jnp.linalg.solve(
+                GB + ridge * jnp.eye(GB.shape[0], dtype=GB.dtype), YB.T @ tau
+            )
+            return jnp.sum((xb - xb_real) ** 2)
         G = gram(Qs)
         ev = jnp.linalg.eigvalsh(G)
         delta = 1e-4 * jnp.maximum(ev[-1], 1e-30)

@@ -282,3 +282,66 @@ def test_suspended_objective(tmp_path):
     _, grad = obj.penalized_value_and_grad(x, 10.0)
     assert np.all(np.isfinite(grad)) and np.linalg.norm(grad) > 0
     assert info["feasible"], info
+
+
+def test_posture_optimizer_parity_objective(tmp_path):
+    """Reference parity (postureOptimizer.py:93-180): with --model_real
+    the objective is ||xBaseReal - xBase||^2 with the (gravity-only)
+    identification run inside the loop."""
+    from flobaroid_tpu.excitation.posture import optimize_postures
+    from flobaroid_tpu.model import Model
+
+    opt = load_config(
+        None,
+        overrides=dict(
+            floatingBase=0,
+            identifyGravityParamsOnly=1,
+            identifyFrictionSimultaneously=0,
+            useStructuralRegressor=1,
+            randomSamples=400,
+            computeDtype="float64",
+            numStaticPostures=3,
+            globalOptIterations=3,
+            globalOptSize=8,
+            useLocalOptimization=1,
+            verbose=0,
+        ),
+    )
+    model = Model(opt, ARM_URDF)
+    x_real = np.asarray(model.tree.std_params())
+    angles = optimize_postures(model, opt, x_std_real=x_real)
+    assert len(angles) == 3
+    lims = model.limits
+    lo = np.array([lims[j]["lower"] for j in model.jointNames])
+    hi = np.array([lims[j]["upper"] for j in model.jointNames])
+    for a in angles:
+        assert np.all(a >= lo - 1e-9) and np.all(a <= hi + 1e-9)
+
+    # the optimized postures must identify the gravity base params from
+    # exact simulated torques better than a mediocre fixed posture set
+    import jax.numpy as jnp
+
+    keep = [p for p in range(model.num_model_params) if p % 10 < 4]
+    Pb = np.asarray(model.Pb)
+    K = np.asarray(model.K)
+    xb_real = K @ x_real[keep]
+
+    def ident_err(Qs):
+        Z = jnp.zeros_like(Qs)
+        Y = model.engine.regressor_batch(jnp.asarray(Qs), Z, Z)
+        Yf = np.asarray(Y[:, :, jnp.asarray(keep)]).reshape(-1, len(keep))
+        YB = Yf @ Pb
+        tau = Yf @ x_real[keep]
+        xb = np.linalg.lstsq(YB, tau, rcond=None)[0]
+        return np.linalg.norm(xb - xb_real)
+
+    err_opt = ident_err(np.stack(angles))
+    err_fixed = ident_err(np.stack([np.full(model.num_dofs, 0.1 * i) for i in range(3)]))
+    assert err_opt <= err_fixed + 1e-9
+
+    # wrong model mode fails loudly
+    opt_full = dict(opt)
+    opt_full["identifyGravityParamsOnly"] = 0
+    model_full = Model(opt_full, ARM_URDF)
+    with pytest.raises(ValueError, match="identifyGravityParamsOnly"):
+        optimize_postures(model_full, opt_full, x_std_real=x_real)

@@ -77,6 +77,11 @@ def main():
     p = base_parser("Optimize an excitation trajectory")
     p.add_argument("--filename", help="output trajectory npz")
     p.add_argument("--world", help="world URDF for collision checks")
+    p.add_argument(
+        "--model_real",
+        help="ground-truth URDF: posture optimizer minimizes the "
+        "identified-parameter error against it (reference parity)",
+    )
     args = p.parse_args()
     config = load_cli_config(args)
     if args.world:
@@ -96,7 +101,12 @@ def main():
     if config.get("useStaticTrajectories", 0):
         from flobaroid_tpu.excitation.posture import optimize_postures
 
-        angles = optimize_postures(model, config)
+        x_std_real = None
+        if args.model_real:
+            from flobaroid_tpu.models.urdf import load_urdf
+
+            x_std_real = load_urdf(args.model_real).std_params()
+        angles = optimize_postures(model, config, x_std_real=x_std_real)
         from flobaroid_tpu.excitation.trajectory import FixedPositionTrajectory
 
         traj = FixedPositionTrajectory(config).initWithAngles(angles)
