@@ -18,7 +18,8 @@ def test_gram_kernel_interpret():
     Y = jnp.asarray(rng.standard_normal((300, 37)), dtype=jnp.float32)
     G = gram(Y, row_tile=128, interpret=True)
     G_ref = gram_xla(Y)
-    np.testing.assert_allclose(np.asarray(G), np.asarray(G_ref), rtol=2e-5, atol=1e-4)
+    # split-precision kernel: bf16x2 accuracy class (~3e-6 of max|G|)
+    np.testing.assert_allclose(np.asarray(G), np.asarray(G_ref), rtol=1e-4, atol=5e-3)
     assert G.shape == (37, 37)
 
 
