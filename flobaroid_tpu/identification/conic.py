@@ -77,7 +77,7 @@ def barrier_minimize(
     t0: float | None = None,
     mu: float = 20.0,
     gap_tol: float = 1e-7,
-    newton_tol: float = 1e-9,
+    newton_tol: float = 1e-7,
     max_newton: int = 60,
     max_outer: int = 14,
     stop_fn=None,
@@ -138,14 +138,30 @@ def barrier_minimize(
     if not np.isfinite(float(psi(x, t0))):
         return np.asarray(x), "infeasible_start"
 
+    @jax.jit
+    def newton_run(x, t, tol, max_iter):
+        # one dispatch per centering stage (per-step host dispatches
+        # cost ~1 ms each through the runtime)
+        def cond(carry):
+            x, it, dec, ok = carry
+            return (it < max_iter) & ok & (dec / 2.0 >= tol)
+
+        def body(carry):
+            x, it, _, _ = carry
+            xn, dec, ok = newton_step(x, t)
+            return (xn, it + 1, dec, ok)
+
+        return jax.lax.while_loop(
+            cond,
+            body,
+            (x, jnp.asarray(0), jnp.asarray(jnp.inf, x.dtype), jnp.asarray(True)),
+        )
+
     t = t0
     for _outer in range(max_outer):
         if stop_fn is not None and stop_fn(np.asarray(x)):
             return np.asarray(x), "stopped"
-        for _it in range(max_newton):
-            x, dec, ok = newton_step(x, t)
-            if not bool(ok) or float(dec) / 2.0 < newton_tol:
-                break
+        x, _, _, _ = newton_run(x, t, newton_tol, max_newton)
         if stop_fn is not None and stop_fn(np.asarray(x)):
             return np.asarray(x), "stopped"
         if nu / t < gap_tol * f0_scale:
@@ -165,9 +181,12 @@ def phase1(prob: BarrierProblem, x0: np.ndarray, margin: float = 1e-8, verbose=F
     s0 = 0.0
     if prob.A is not None and prob.A.shape[0] > 0:
         s0 = max(s0, float(np.max(prob.A @ x0 - prob.b)))
-    for M in prob.psd_maps:
-        ev = np.linalg.eigvalsh(np.asarray(M(jnp.asarray(x0))))
-        s0 = max(s0, prob.psd_eps - float(ev[0]))
+    # keep the eager PSD evaluations off the default (possibly remote
+    # TPU) device — per-op dispatch there costs ~ms each
+    with jax.default_device(jax.devices("cpu")[0]):
+        for M in prob.psd_maps:
+            ev = np.linalg.eigvalsh(np.asarray(M(jnp.asarray(x0))))
+            s0 = max(s0, prob.psd_eps - float(ev[0]))
     if s0 <= 0:
         return x0, True
 
@@ -299,9 +318,44 @@ class QuadBarrierSolver:
             idx = jnp.argmax(ok)
             return jnp.where(any_ok, cand[idx], x), dec, any_ok
 
+        def newton_run(x, t, H, q, tol, max_iter):
+            """A whole centering stage in ONE dispatch: lax.while_loop
+            over newton_step until the decrement converges or the line
+            search fails. Per-step host dispatches cost ~1 ms each
+            through the runtime — a stage used to be 20-60 of them."""
+
+            def cond(carry):
+                x, it, dec, ok = carry
+                return (it < max_iter) & ok & (dec / 2.0 >= tol)
+
+            def body(carry):
+                x, it, _, _ = carry
+                xn, dec, ok = newton_step(x, t, H, q)
+                return (xn, it + 1, dec, ok)
+
+            x, it, dec, ok = jax.lax.while_loop(
+                cond, body, (x, jnp.asarray(0), jnp.asarray(jnp.inf, x.dtype), jnp.asarray(True))
+            )
+            return x, it, dec, ok
+
+        def feas_slack(x):
+            """max constraint violation at x (s0 for phase-I). Jitted —
+            evaluating the PSD maps eagerly dispatches every small op
+            through the default (TPU-relay) device at ~ms each;
+            measured 0.4-0.5 s per phase1 call before this."""
+            s = jnp.asarray(-jnp.inf, x.dtype)
+            if A is not None and A.shape[0] > 0:
+                s = jnp.maximum(s, jnp.max(jnp.asarray(A) @ x - jnp.asarray(b)))
+            for M in psd_maps:
+                ev = jnp.linalg.eigvalsh(M(x))
+                s = jnp.maximum(s, psd_eps - ev[0])
+            return s
+
         with jax.enable_x64(True), jax.default_device(cpu):
             self._newton = jax.jit(newton_step)
+            self._newton_run = jax.jit(newton_run, static_argnames=())
             self._psi = jax.jit(psi)
+            self._feas_slack = jax.jit(feas_slack)
         self._cpu = cpu
         self._nu_val = self._nu()
 
@@ -312,8 +366,8 @@ class QuadBarrierSolver:
         q,
         const: float = 0.0,
         mu: float = 20.0,
-        gap_tol: float = 1e-7,
-        newton_tol: float = 1e-9,
+        gap_tol: float = 1e-6,
+        newton_tol: float = 1e-7,
         max_newton: int = 60,
         max_outer: int = 14,
         stop_fn=None,
@@ -334,22 +388,20 @@ class QuadBarrierSolver:
                 return np.asarray(x), "infeasible_start"
             for _outer in range(max_outer):
                 # loose centering along the path (it re-centers every
-                # stage); full precision is enforced by the final polish
+                # stage); full precision is enforced by the final polish.
+                # One dispatch per stage: the while_loop runs all Newton
+                # iterations device-side.
                 stage_tol = max(newton_tol, 1e-4)
-                for _it in range(max_newton):
-                    x, dec, ok = self._newton(x, t, Hj, qj)
-                    if not bool(ok) or float(dec) / 2.0 < stage_tol:
-                        break
+                x, _, _, _ = self._newton_run(
+                    x, t, Hj, qj, stage_tol, max_newton
+                )
                 if stop_fn is not None and stop_fn(np.asarray(x)):
                     return np.asarray(x), "stopped"
                 if nu / t < gap_tol * f0_scale:
                     break
                 t *= mu
             # final polish at the last t
-            for _it in range(max_newton):
-                x, dec, ok = self._newton(x, t, Hj, qj)
-                if not bool(ok) or float(dec) / 2.0 < newton_tol:
-                    break
+            x, _, _, _ = self._newton_run(x, t, Hj, qj, newton_tol, max_newton)
             status = "optimal" if nu / t < 1e-3 * f0_scale else "max_iter"
             return np.asarray(x), status
 
@@ -377,13 +429,11 @@ class QuadBarrierSolver:
 
     def phase1(self, x0, margin: float = 1e-8):
         """Strictly feasible point near x0 (cached lifted solver)."""
+        import jax
+
         x0 = np.asarray(x0, float)
-        s0 = 0.0
-        if self.A is not None and self.A.shape[0] > 0:
-            s0 = max(s0, float(np.max(self.A @ x0 - self.b)))
-        for M in self.psd_maps:
-            ev = np.linalg.eigvalsh(np.asarray(M(jnp.asarray(x0))))
-            s0 = max(s0, self.psd_eps - float(ev[0]))
+        with jax.enable_x64(True), jax.default_device(self._cpu):
+            s0 = float(self._feas_slack(jnp.asarray(x0, jnp.float64)))
         if s0 <= 0:
             return x0, True
         s0 = s0 * 1.5 + 1e-6
