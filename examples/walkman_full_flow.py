@@ -6,10 +6,10 @@ identification with friction. Mirrors the reference's walkman_full
 scenario (BASELINE.json config #5). Takes ~15 min cold on one v5e chip
 (compile-cache warm: ~8 min)."""
 import numpy as np, time, tempfile, os, shutil, sys
-import jax, jax.numpy as jnp
-from flobaroid_tpu.utils.cli import enable_compilation_cache
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax, jax.numpy as jnp
+from flobaroid_tpu.utils.cli import enable_compilation_cache
 from flobaroid_tpu.model import Model
 from flobaroid_tpu.utils.config import load_config
 from flobaroid_tpu.excitation.optimizer import optimize_trajectory
