@@ -188,6 +188,26 @@ def optimize_trajectory(model, config, yty_prior=None, seeds=None, rng=None):
             load_urdf(config["worldUrdf"]) if config.get("worldUrdf") else None
         )
         cm = CollisionModel(model.tree, model.engine, config, world_tree=world_tree)
+        # reference parity (optimizer.py:544-563): self pairs already
+        # overlapping at the zero pose are coarse-capsule artifacts —
+        # warn and ignore them, or every trajectory is "infeasible"
+        zero_viol = [
+            (a, b)
+            for (a, b), d in cm.find_colliding_at_zero()
+            if b not in cm.world_boxes
+        ]
+        if zero_viol:
+            print(
+                f"ignoring {len(zero_viol)} capsule pair(s) overlapping at "
+                f"zero pose: {zero_viol[:6]}{'...' if len(zero_viol) > 6 else ''}"
+            )
+            cfg2 = dict(config)
+            cfg2["ignoreLinkPairsForCollision"] = list(
+                config.get("ignoreLinkPairsForCollision", []) or []
+            ) + [list(p) for p in zero_viol]
+            cm = CollisionModel(
+                model.tree, model.engine, cfg2, world_tree=world_tree
+            )
         if cm.num_pairs:
             n_trans = (
                 int(config.get("transitionCollisionSamples", 10))

@@ -197,3 +197,22 @@ def test_transition_collision_constraints():
     # differentiable end-to-end
     grad = jax.grad(lambda Q_: jnp.sum(fn(Q_)))(jnp.asarray(Q))
     assert np.all(np.isfinite(np.asarray(grad)))
+
+
+def test_zero_pose_overlaps_auto_ignored():
+    """Reference parity (optimizer.py:544-563): capsule pairs overlapping
+    at the zero pose are artifacts and must be dropped from the
+    optimizer's constraint set, not render every trajectory infeasible."""
+    REPO_M = os.path.join(REPO, "examples", "models", "humanoid30.urdf")
+    tree = load_urdf(REPO_M)
+    eng = DynamicsEngine(tree)
+    cfg = load_config(None)
+    cm = CollisionModel(tree, eng, cfg, world_tree=None)
+    viol = [(a, b) for (a, b), d in cm.find_colliding_at_zero() if b not in cm.world_boxes]
+    assert len(viol) >= 4  # Chest/Waist vs upper arms on this model
+
+    cfg2 = dict(cfg)
+    cfg2["ignoreLinkPairsForCollision"] = [list(p) for p in viol]
+    cm2 = CollisionModel(tree, eng, cfg2, world_tree=None)
+    assert cm2.num_pairs == cm.num_pairs - len(viol)
+    assert cm2.find_colliding_at_zero() == []
