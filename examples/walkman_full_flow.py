@@ -36,7 +36,8 @@ x, spec, obj, info = optimize_trajectory(model, dict(opt))
 print(f"suspended trajectory opt: {time.time()-t0:.1f}s {info}", flush=True)
 
 freq = 50.0
-times = np.arange(int(2*np.pi/x[0]*freq)*10) / freq
+periods = int(os.environ.get("FLOW_PERIODS", "10"))  # friction recovery wants 13k+ samples (BASELINE)
+times = np.arange(int(2*np.pi/x[0]*freq)*periods) / freq
 Q, V, A = (np.asarray(v) for v in fourier_traj(spec, jnp.asarray(x, jnp.float32), times))
 cfg = dict(opt); cfg.update(urdf=urdf, num_dofs=30, jointNames=model.jointNames,
     simulateCableForces=0, simulateGravityCompResidual=0, simulateThermalDrift=0, simulateTimingJitter=0)
