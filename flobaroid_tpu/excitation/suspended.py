@@ -216,31 +216,54 @@ class SuspendedSimulator:
         return np.asarray(rpy_s), base_velocity, base_acceleration, np.asarray(pos_s)
 
     # ------------------------------------------------------------------
+    def _equilibrium_descend(self):
+        """Jitted equilibrium descent, built once per simulator (a fresh
+        jit closure per call would recompile every call; q0 and the
+        tolerances are traced arguments)."""
+        if getattr(self, "_descend_fn", None) is None:
+            nd = self.engine.num_dofs
+            step = 1.0 / 700.0
+            lim = np.deg2rad(30)
+
+            def moment(q0, att_rpy):
+                zero = jnp.zeros(nd, dtype=q0.dtype)
+                R_wr, pw, p_a, s, mask, v_r = self._root_state(
+                    q0, att_rpy, jnp.zeros(3, q0.dtype), zero
+                )
+                return self._moment_about_attachment(
+                    q0, zero, zero, R_wr, v_r, p_a, jnp.zeros(3, q0.dtype), s, mask
+                )
+
+            def descend(q0, rpy0, max_iterations, tol):
+                # whole descent in ONE dispatch (a host loop pays a
+                # device round-trip per iteration)
+                def cond(carry):
+                    rpy, it, nrm = carry
+                    return (it < max_iterations) & (nrm >= tol)
+
+                def body(carry):
+                    rpy, it, _ = carry
+                    n = moment(q0, rpy)
+                    nrm = jnp.linalg.norm(n)
+                    rpy = jnp.clip(rpy - step * n, -lim, lim)
+                    return (rpy, it + 1, nrm)
+
+                n0 = jnp.linalg.norm(moment(q0, rpy0))
+                rpy, _, _ = jax.lax.while_loop(cond, body, (rpy0, 0, n0))
+                return rpy
+
+            self._descend_fn = jax.jit(descend)
+        return self._descend_fn
+
     def find_equilibrium_rpy(self, q0, max_iterations=200, tol=0.01):
         """Static equilibrium attachment orientation: descend the gravity
         moment about the attachment (reference suspendedDynamics.py:235-293)."""
-        q0 = jnp.asarray(q0)
-        nd = self.engine.num_dofs
-        zero = jnp.zeros(nd, dtype=q0.dtype)
-
-        @jax.jit
-        def moment(att_rpy):
-            R_wr, pw, p_a, s, mask, v_r = self._root_state(
-                q0, att_rpy, jnp.zeros(3, q0.dtype), zero
+        q0 = jnp.asarray(q0, jnp.result_type(float))
+        return np.asarray(
+            self._equilibrium_descend()(
+                q0, jnp.zeros(3, q0.dtype), max_iterations, float(tol)
             )
-            return self._moment_about_attachment(
-                q0, zero, zero, R_wr, v_r, p_a, jnp.zeros(3, q0.dtype), s, mask
-            )
-
-        rpy = np.zeros(3)
-        step = 1.0 / 700.0
-        lim = np.deg2rad(30)
-        for _ in range(max_iterations):
-            n = np.asarray(moment(jnp.asarray(rpy)))
-            if np.linalg.norm(n) < tol:
-                break
-            rpy = np.clip(rpy - step * n, -lim, lim)
-        return rpy
+        )
 
 
 def simulate_suspended_base_motion(
