@@ -208,8 +208,12 @@ class SuspendedSimulator:
         else:
             att_rpy0 = np.asarray(initial_rpy, dtype=float)
 
-        rpy_s, pos_s, vel_s = self.simulate_core(
-            positions, velocities, accelerations, att_rpy0, dt
+        if getattr(self, "_sim_core_jit", None) is None:
+            # cached jit: the eager path dispatches the pre-scan ops
+            # one-by-one through the (possibly remote) default device
+            self._sim_core_jit = jax.jit(self.simulate_core)
+        rpy_s, pos_s, vel_s = self._sim_core_jit(
+            positions, velocities, accelerations, jnp.asarray(att_rpy0, positions.dtype), dt
         )
         base_velocity = np.asarray(vel_s)
         base_acceleration = np.asarray(self.acceleration_from_velocity(vel_s, dt))
