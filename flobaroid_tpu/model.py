@@ -537,6 +537,32 @@ class Model:
         cf2d = self.contactForcesSum.reshape(N, rows)
 
         chunk = int(opt.get("gramChunk", 4096))
+        # multi-chip SPMD (SURVEY §2.9): shard the sample axis of each
+        # chunk over a device mesh — the jitted Gram contraction is
+        # already a sample-axis reduction, so XLA partitions it and
+        # inserts the psum over ICI; the (rows, P, P) output replicates.
+        shards = int(opt.get("shardSamples", 0) or 0)
+        shard_spec = None
+        if shards > 1:
+            import jax as _jax
+
+            if len(_jax.devices()) < shards:
+                print(
+                    f"shardSamples={shards} but only {len(_jax.devices())} "
+                    "device(s) visible — running unsharded"
+                )
+            else:
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as PS
+
+                from .parallel.mesh import make_mesh
+
+                mesh = make_mesh(shards)
+                chunk = ((chunk + shards - 1) // shards) * shards
+
+                def shard_spec(a):
+                    return NamedSharding(mesh, PS("samples", *([None] * (a.ndim - 1))))
+
         P = self.num_identified_params
         G = np.zeros((rows, P, P))
         g = np.zeros((rows, P))
@@ -548,6 +574,14 @@ class Model:
                 return a
             return np.concatenate([a, np.zeros((r,) + a.shape[1:], a.dtype)], axis=0)
 
+        def to_dev(a):
+            aj = jnp.asarray(a, dt)
+            if shard_spec is not None:
+                import jax as _jax
+
+                aj = _jax.device_put(aj, shard_spec(aj))
+            return aj
+
         n_pad = ((N + chunk - 1) // chunk) * chunk
         maskN = pad(np.ones((N, rows)), chunk)
         arrays = [pad(np.asarray(a), chunk) if a is not None else None
@@ -555,10 +589,10 @@ class Model:
         for s0 in range(0, n_pad, chunk):
             sl = slice(s0, s0 + chunk)
             args = [
-                jnp.asarray(a[sl], dt) if a is not None else None for a in arrays
+                to_dev(a[sl]) if a is not None else None for a in arrays
             ]
             Gc, gc, gcfc = gram_chunk(*args[:8], args[8], args[9],
-                                      jnp.asarray(maskN[sl], dt))
+                                      to_dev(maskN[sl]))
             G += np.asarray(Gc, dtype=float)
             g += np.asarray(gc, dtype=float)
             gcf += np.asarray(gcfc, dtype=float)

@@ -68,3 +68,33 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_streaming_gram_sharded_matches_unsharded():
+    """shardSamples>1: the streaming identification shards each Gram
+    chunk's sample axis over the device mesh; results must match the
+    single-device path exactly (same jitted contraction, psum over the
+    mesh)."""
+    import os
+
+    from test_identification import base_opt, synth_samples
+    from flobaroid_tpu.identification.identifier import Identification
+
+    REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+    urdf = os.path.join(REPO, "examples", "models", "sevenlink_arm.urdf")
+    assert len(jax.devices()) >= 8
+    samples, _ = synth_samples(urdf, n=900, noise=0.05, seed=17)
+
+    res = {}
+    for shards in (0, 8):
+        idf = Identification(
+            base_opt(floatingBase=0, materializeRegressor=0,
+                     gramChunk=256, shardSamples=shards),
+            urdf,
+        )
+        idf.data.init_from_data(dict(samples))
+        idf.estimateParameters()
+        res[shards] = (np.asarray(idf.model.xBase), np.asarray(idf.model.G_std))
+
+    np.testing.assert_allclose(res[8][0], res[0][0], rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(res[8][1], res[0][1], rtol=1e-8)
