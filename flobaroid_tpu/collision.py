@@ -196,6 +196,13 @@ class CollisionModel:
         ignore_pairs = {
             tuple(sorted(p)) for p in (config.get("ignoreLinkPairsForCollision", []) or [])
         }
+        # group-level ignores (reference trajectoryOptimizer.py:664-667):
+        # every (a in groupA, b in groupB) pair is skipped
+        for group_pair in config.get("ignoreCollisionBetweenGroups", []) or []:
+            if len(group_pair) == 2:
+                for ga in group_pair[0]:
+                    for gb in group_pair[1]:
+                        ignore_pairs.add(tuple(sorted((ga, gb))))
 
         self.capsules: dict[str, Capsule] = {}
         for name in tree.link_names:

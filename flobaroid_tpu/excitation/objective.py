@@ -342,5 +342,10 @@ class TrajectoryObjective:
         )
         return np.asarray(xj), float(v)
 
-    def feasible(self, g, tol=0.0):
+    def feasible(self, g, tol=None):
+        """Constraint feasibility with the reference's minTolConstr
+        tolerance (tanh rounding causes tiny angle violations,
+        reference trajectoryOptimizer.py:573)."""
+        if tol is None:
+            tol = float(self.config.get("minTolConstr", 0.0) or 0.0)
         return bool(np.all(np.asarray(g) <= tol))

@@ -131,6 +131,14 @@ def optimize_postures(model, config, x_std_real=None, rng=None):
     lo_f = np.tile(lo, n_post)
     hi_f = np.tile(hi, n_post)
     mean = lo_f + (hi_f - lo_f) * rng.random(dim)
+    # seed with configured initial postures (reference
+    # postureOptimizer.py:241-250; degrees when useDeg)
+    init_postures = config.get("initialPostures") or []
+    for p_i, angles in enumerate(init_postures[:n_post]):
+        a = np.asarray(angles, dtype=float)[:nd]
+        if config.get("useDeg", 0):
+            a = np.deg2rad(a)
+        mean[p_i * nd : p_i * nd + len(a)] = a
     sigma = 0.3 * (hi_f - lo_f)
     pop = max(int(config.get("globalOptSize", 12)), 8)
     best, best_v = mean.copy(), np.inf

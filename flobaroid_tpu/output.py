@@ -41,9 +41,25 @@ class OutputConsole:
 
         xStd = idf._full_xstd() if len(m.xStd) else m.xStdModel
         xReal = idf.xStdReal
+        xModel = m.xStdModel
+        bary = bool(opt.get("outputBarycentric", 0))
+        if bary:
+            # display in barycentric form [m, COM, I@COM] (reference
+            # output.py:51-127)
+            from .utils.helpers import params_link_to_bary as _l2b
+
+            nmp = m.num_model_params
+            xStd = _l2b(xStd, nmp)
+            xModel = _l2b(xModel, nmp)
+            if xReal is not None:
+                xReal = _l2b(xReal, nmp)
 
         if opt.get("showStandardParams", 1) and not summary_only:
-            lines.append("Standard parameters:")
+            lines.append(
+                "Standard parameters (barycentric [m, COM, I@COM]):"
+                if bary
+                else "Standard parameters:"
+            )
             hdr = f"{'#':>4} {'name':<10} {'a priori':>12} {'identified':>12}"
             if xReal is not None:
                 hdr += f" {'real':>12} {'%err':>8}"
@@ -52,7 +68,7 @@ class OutputConsole:
             tags = getattr(idf.sdp, "constr_per_param", {}) if idf.sdp else {}
             non_id = set(m.non_id)
             for ci, p in enumerate(m.identified_params):
-                ap = m.xStdModel[p]
+                ap = xModel[p]
                 idv = xStd[p]
                 chg = 100.0 * (idv - ap) / abs(ap) if abs(ap) > 1e-12 else float("inf") if abs(idv) > 1e-9 else 0.0
                 row = f"{p:>4} {m.param_names[ci]:<10} {ap:>12.5g} {idv:>12.5g}"
@@ -90,11 +106,13 @@ class OutputConsole:
                     row += f"   {eqs[i][:70]}"
                 lines.append(row)
 
-        # consistency summary (reference output.py:599-679)
+        # consistency summary (reference output.py:599-679) — always on
+        # the link-frame params, regardless of the display convention
         lines.append("")
+        xStd_link = idf._full_xstd() if len(m.xStd) else m.xStdModel
         triangle = bool(opt.get("showTriangleConsistency", 0))
         cons = helpers.consistency_per_link(
-            xStd[: m.num_model_params], m.num_links, triangle=triangle
+            xStd_link[: m.num_model_params], m.num_links, triangle=triangle
         )
         bad = [m.linkNames[i] for i, ok in cons.items() if not ok]
         if bad:
@@ -191,22 +209,34 @@ class OutputMatplotlib:
             figs.append(("Base dynamics", fig))
 
         n_show = m.num_dofs
-        ncols = 3
-        nrows = int(np.ceil(n_show / ncols))
-        fig, axes = plt.subplots(nrows, ncols, figsize=(12, 2.6 * nrows),
-                                 constrained_layout=True, squeeze=False)
-        for j in range(n_show):
-            ax = axes[j // ncols][j % ncols]
-            ax.plot(T, tauM[:, fb + j], label="measured", lw=0.8)
+        if opt.get("plotPerJoint", 1):
+            # one subplot per joint (reference output.py:841)
+            ncols = 3
+            nrows = int(np.ceil(n_show / ncols))
+            fig, axes = plt.subplots(nrows, ncols, figsize=(12, 2.6 * nrows),
+                                     constrained_layout=True, squeeze=False)
+            for j in range(n_show):
+                ax = axes[j // ncols][j % ncols]
+                ax.plot(T, tauM[:, fb + j], label="measured", lw=0.8)
+                if tauE is not None:
+                    ax.plot(T, tauE[:, fb + j], label="estimated", lw=0.8)
+                if opt.get("plotPrioriTorques", 1) and tauAP is not None:
+                    ax.plot(T, tauAP[:, fb + j], label="a priori", lw=0.6, alpha=0.7)
+                if opt.get("plotErrors", 0) and tauE is not None:
+                    ax.plot(T, tauM[:, fb + j] - tauE[:, fb + j], label="error", lw=0.5)
+                ax.set_title(m.jointNames[j], fontsize=8)
+                ax.grid(alpha=0.3)
+            axes[0][0].legend(fontsize=7)
+        else:
+            # all joints overlaid in one axes (reference plotPerJoint=0)
+            fig, ax = plt.subplots(figsize=(12, 5), constrained_layout=True)
+            for j in range(n_show):
+                ax.plot(T, tauM[:, fb + j], lw=0.7, label=m.jointNames[j])
             if tauE is not None:
-                ax.plot(T, tauE[:, fb + j], label="estimated", lw=0.8)
-            if opt.get("plotPrioriTorques", 1) and tauAP is not None:
-                ax.plot(T, tauAP[:, fb + j], label="a priori", lw=0.6, alpha=0.7)
-            if opt.get("plotErrors", 0) and tauE is not None:
-                ax.plot(T, tauM[:, fb + j] - tauE[:, fb + j], label="error", lw=0.5)
-            ax.set_title(m.jointNames[j], fontsize=8)
+                for j in range(n_show):
+                    ax.plot(T, tauE[:, fb + j], lw=0.7, ls="--")
             ax.grid(alpha=0.3)
-        axes[0][0].legend(fontsize=7)
+            ax.legend(fontsize=6, ncol=4)
         fig.suptitle("joint torques")
         figs.append(("Joint torques", fig))
 

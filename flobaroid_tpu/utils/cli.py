@@ -26,8 +26,15 @@ def setup_jax() -> None:
 
     plat = os.environ.get("JAX_PLATFORMS")
     if plat:
+        # keep the host backend registered: the parameter-space solvers
+        # (conic.py) pin themselves to jax.devices("cpu"), and an
+        # exclusive accelerator platform list would hide it
+        # (RuntimeError: Unknown backend cpu)
+        plats = [p.strip() for p in plat.split(",") if p.strip()]
+        if "cpu" not in plats:
+            plats.append("cpu")
         try:
-            jax.config.update("jax_platforms", plat)
+            jax.config.update("jax_platforms", ",".join(plats))
         except RuntimeError:
             pass  # backends already initialized
     enable_compilation_cache()

@@ -22,11 +22,11 @@ DEFAULTS: dict[str, Any] = {
     "useGlobalOptimization": 1,
     "globalOptIterations": 10,
     "globalOptSize": 12,
-    "globalSolver": "batch",  # tpu-native batched search (reference: optuna TPE/NSGA2)
     "useLocalOptimization": 1,
     "localOptIterations": 10,
-    "localSolver": "lbfgs",  # tpu-native (reference: IPOPT)
     "minTolConstr": 0.01,
+    # display/interactive toggles accepted for reference-config compat;
+    # headless no-ops here (reports are written as files instead)
     "showOptimizationGraph": 0,
     "showOptimizationTrajs": 0,
     "showModelVisualization": 0,
@@ -70,7 +70,7 @@ DEFAULTS: dict[str, Any] = {
     # collision
     "collisionMode": "capsule",
     "fullMeshLinks": [],
-    "ignoreCollisionGroups": [],
+    "ignoreCollisionBetweenGroups": [],  # [[groupA...],[groupB...]] pairs to skip
     "maxKinematicDistance": 0,
     "worldCollisionMargins": {},
     # suspended base
@@ -112,7 +112,6 @@ DEFAULTS: dict[str, Any] = {
     "constrainToConsistent": 0,
     "checkAPrioriFeasibility": 0,
     "identifyClosestToCAD": 0,
-    "constrainUsingNL": 0,
     "noChange": 0,
     "noChangeThresh": 400,
     "restrictCOMtoHull": 0,
@@ -131,10 +130,7 @@ DEFAULTS: dict[str, Any] = {
     "dontConstrain": [],
     "useSymmetryConstraints": 0,
     "symmetryTolerance": 0.05,
-    "symmetryPairs": [],
     "cadRegularizationMode": "uniform",  # 'uniform'|'observability'|'geometric'
-    "SDPSolver": "ipm_jax",
-    "epsilonSDP": 1e-7,
     # other estimation
     "useAPriori": 0,
     "useEssentialParams": 0,
@@ -152,7 +148,6 @@ DEFAULTS: dict[str, Any] = {
     "plotPerJoint": 1,
     "plotPrioriTorques": 1,
     "plotErrors": 0,
-    "plotLegendAnchor": 1.0,
     "showRandomRegressor": 0,
     "showErrorHistogram": 0,
     "showMemUsage": 0,
@@ -172,9 +167,7 @@ DEFAULTS: dict[str, Any] = {
     "regularizationFactor": 1000.0,
     "deleteFixedBase": 1,
     # ---- tpu-native execution options (new) ----
-    "devicePlatform": None,  # None = jax default; 'cpu' to force host
     "computeDtype": "float32",  # on-device regressor/Gram dtype
-    "solveDtype": "float64",  # host-side parameter-space linear algebra
     "gramChunk": 4096,  # samples per on-device Gram accumulation chunk
     "materializeRegressor": 1,  # keep the stacked YStd (else stream Gram only)
     "shardSamples": 0,  # shard the sample axis over the device mesh

@@ -90,6 +90,19 @@ def main():
     with jax_profile(config.get("jaxProfileDir")), stage_timer("estimation", config):
         idf.estimateParameters()
 
+    if config.get("showMemUsage", 0):
+        from flobaroid_tpu.utils.timing import print_mem_usage
+
+        print_mem_usage(
+            dict(
+                YStd=idf.model.YStd,
+                YBase=idf.model.YBase,
+                G_rows=getattr(idf.model, "G_rows", None),
+                tauMeasured=idf.model.tauMeasured,
+                samples=idf.data.samples,
+            )
+        )
+
     console = OutputConsole(idf)
     text = console.render()
 

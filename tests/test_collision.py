@@ -216,3 +216,21 @@ def test_zero_pose_overlaps_auto_ignored():
     cm2 = CollisionModel(tree, eng, cfg2, world_tree=None)
     assert cm2.num_pairs == cm.num_pairs - len(viol)
     assert cm2.find_colliding_at_zero() == []
+
+
+def test_ignore_collision_between_groups():
+    tree = load_urdf(ARM_URDF)
+    eng = DynamicsEngine(tree)
+    cfg = load_config(None)
+    cm0 = CollisionModel(tree, eng, cfg)
+    cfg2 = dict(cfg)
+    cfg2["ignoreCollisionBetweenGroups"] = [
+        [["arm_1_link", "arm_2_link"], ["arm_6_link", "arm_7_link"]]
+    ]
+    cm1 = CollisionModel(tree, eng, cfg2)
+    dropped = {tuple(sorted(p)) for p in cm0.self_pairs} - {
+        tuple(sorted(p)) for p in cm1.self_pairs
+    }
+    assert dropped  # at least one cross-group pair existed and is gone
+    for a, b in dropped:
+        assert {a, b} <= {"arm_1_link", "arm_2_link", "arm_6_link", "arm_7_link"}

@@ -146,3 +146,37 @@ def test_gravity_only_mode(tmp_path):
         idf.model.xBaseModel
     )
     assert rel < 0.05, rel
+
+
+def test_config_keys_are_wired():
+    """Every key in DEFAULTS must be referenced somewhere outside
+    config.py (a documented key wired to nothing silently lies to the
+    user — shardSamples was one)."""
+    import re
+    import subprocess
+
+    import flobaroid_tpu.utils.config as C
+
+    repo = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+    src = open(C.__file__).read()
+    keys = set(re.findall(r'^\s+"([A-Za-z0-9_]+)":', src, re.M))
+    # display/interactive toggles documented as headless no-ops
+    noop = {
+        "showOptimizationGraph", "showOptimizationTrajs",
+        "showModelVisualization", "transparentLinks", "collisionMode",
+        "fullMeshLinks", "outputModule", "showRandomRegressor",
+        "showErrorHistogram", "showEssentialSteps",
+    }
+    unwired = []
+    for k in sorted(keys - noop):
+        r = subprocess.run(
+            ["grep", "-rl", k, os.path.join(repo, "flobaroid_tpu"),
+             os.path.join(repo, "tests")] +
+            [os.path.join(repo, f) for f in
+             ("trajectory.py", "simulator.py", "identifier.py", "excite.py", "bench.py")],
+            capture_output=True, text=True,
+        )
+        files = [f for f in r.stdout.split() if not f.endswith("utils/config.py")]
+        if not files:
+            unwired.append(k)
+    assert not unwired, f"config keys wired to nothing: {unwired}"
