@@ -211,9 +211,14 @@ class Model:
     def _compute_dtype(self):
         return jnp.dtype(self.opt.get("computeDtype", "float32"))
 
-    def _batched_rows(self, Q, DQ, DDQ, BR=None, BV=None, BA=None, pi=None):
+    def _batched_rows(
+        self, Q, DQ, DDQ, BR=None, BV=None, BA=None, pi=None, sim_only=False
+    ):
         """One jitted chunk: inertial regressor blocks (N, rows, 10L) and,
-        when pi is given, simulated inverse-dynamics rows (N, rows)."""
+        when pi is given, simulated inverse-dynamics rows (N, rows).
+        sim_only=True returns (None, sim) without materializing Y off
+        device (streaming mode: fetching the full (N, rows, 10L) block
+        through the runtime costs ~10 s at walkman scale)."""
         eng = self.engine
         floating = BR is not None
 
@@ -227,9 +232,11 @@ class Model:
                 sim = jnp.einsum(
                     "nrp,p->nr", Y, pi_arr, precision=jax.lax.Precision.HIGHEST
                 )
+            if sim_only:
+                return None, sim
             return Y, sim
 
-        key = (floating, pi is not None)
+        key = (floating, pi is not None, sim_only)
         if key not in self._regr_jit_cache:
             self._regr_jit_cache[key] = jax.jit(chunk_fn)
         dt = self._compute_dtype()
@@ -344,8 +351,17 @@ class Model:
 
         need_sim = opt["simulateTorques"] or opt["useAPriori"] or opt["floatingBase"]
         pi_urdf = self.xStdModel[: self.num_model_params]
-        Yin, sim = self._batched_rows(Q, V, A, BR, BV, BA, pi=pi_urdf if need_sim else None)
-        Yin = np.array(Yin, dtype=float)  # (N, rows, 10L)
+        # the stacked Y block is not needed in streaming mode (Grams are
+        # accumulated on device) nor for only_simulate — skip the large
+        # device->host fetch in those cases
+        skip_y = (not int(opt.get("materializeRegressor", 1))) or only_simulate
+        Yin, sim = self._batched_rows(
+            Q, V, A, BR, BV, BA,
+            pi=pi_urdf if need_sim else None,
+            sim_only=skip_y,
+        )
+        if Yin is not None:
+            Yin = np.array(Yin, dtype=float)  # (N, rows, 10L)
 
         if sim is not None:
             sim = np.array(sim, dtype=float)
