@@ -34,10 +34,42 @@ def _capsule_points(p0, p1, r, n=10):
 
 
 class Visualizer:
-    def __init__(self, tree, engine, collision_model=None, world_tree=None):
+    def __init__(self, tree, engine, collision_model=None, world_tree=None,
+                 urdf_path=None, mesh_base_dir="meshes", draw_meshes=True,
+                 max_mesh_tris=600):
         self.tree = tree
         self.engine = engine
         self.cm = collision_model
+        # visual meshes (reference renders URDF meshes via trimesh +
+        # OpenGL, visualizer.py:910+; here: decimated STL triangle soups
+        # per link drawn as Poly3DCollections)
+        self.link_meshes: dict[int, list[tuple[np.ndarray, np.ndarray, np.ndarray]]] = {}
+        if draw_meshes:
+            from .models.geometry import load_stl_vertices, resolve_mesh_path
+            from .models.urdf import rpy_to_matrix
+
+            for li, link in enumerate(tree.links):
+                for vis in link.visuals or link.collisions:
+                    g = vis.geometry
+                    if g is None or g.kind != "mesh" or not g.filename:
+                        continue
+                    path = resolve_mesh_path(g.filename, urdf_path, mesh_base_dir)
+                    if path is None:
+                        continue
+                    try:
+                        verts = load_stl_vertices(path)
+                    except (OSError, ValueError):
+                        continue
+                    tris = verts.reshape(-1, 3, 3)
+                    if len(tris) > max_mesh_tris:
+                        keep = np.linspace(0, len(tris) - 1, max_mesh_tris).astype(int)
+                        tris = tris[keep]
+                    if g.scale is not None:
+                        tris = tris * np.asarray(g.scale)
+                    Rv = rpy_to_matrix(vis.origin_rpy)
+                    self.link_meshes.setdefault(li, []).append(
+                        (tris, Rv, np.asarray(vis.origin_xyz))
+                    )
 
     def _link_world(self, q, base_rot=None, base_pos=None):
         import jax.numpy as jnp
@@ -58,6 +90,20 @@ class Visualizer:
             pa = int(self.tree.parent_link[i])
             if pa >= 0:
                 ax.plot(*zip(p[pa], p[i]), color=color, lw=2, alpha=alpha)
+        # visual meshes
+        if self.link_meshes:
+            from mpl_toolkits.mplot3d.art3d import Poly3DCollection
+
+            for li, meshes in self.link_meshes.items():
+                for tris, Rv, tv in meshes:
+                    world = np.einsum(
+                        "ij,ntj->nti", R[li] @ Rv, tris
+                    ) + (R[li] @ tv + p[li])
+                    ax.add_collection3d(
+                        Poly3DCollection(
+                            world, facecolor=color, edgecolor="none", alpha=0.25
+                        )
+                    )
         # capsules
         if self.cm is not None:
             viol_links = set()

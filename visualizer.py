@@ -24,6 +24,8 @@ def main():
     p.add_argument("--pose", default=None,
                    help="comma-separated joint angles for a static snapshot")
     p.add_argument("--step", type=int, default=10, help="animation frame step")
+    p.add_argument("--no_meshes", action="store_true",
+                   help="skip visual STL meshes (wireframe capsules only)")
     args = p.parse_args()
     config = load_cli_config(args)
 
@@ -36,7 +38,12 @@ def main():
     eng = DynamicsEngine(tree)
     world = load_urdf(args.world) if args.world else None
     cm = CollisionModel(tree, eng, config, world_tree=world)
-    viz = Visualizer(tree, eng, collision_model=cm)
+    viz = Visualizer(
+        tree, eng, collision_model=cm,
+        urdf_path=config["urdf"],
+        mesh_base_dir=str(config.get("meshBaseDir", "meshes")),
+        draw_meshes=not args.no_meshes,
+    )
 
     if args.trajectory:
         with np.load(args.trajectory, allow_pickle=True, encoding="latin1") as f:
