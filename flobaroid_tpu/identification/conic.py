@@ -129,7 +129,8 @@ def barrier_minimize(
         any_ok = jnp.any(ok)
         idx = jnp.argmax(ok)
         x_new = jnp.where(any_ok, cand[idx], x)
-        return x_new, dec, any_ok
+        step_sel = jnp.where(any_ok, steps[idx], 0.0).astype(x.dtype)
+        return x_new, dec, any_ok, step_sel
 
     f0_scale = max(1.0, abs(float(prob.objective(x))))
     if t0 is None:
@@ -143,19 +144,23 @@ def barrier_minimize(
         # one dispatch per centering stage (per-step host dispatches
         # cost ~1 ms each through the runtime)
         def cond(carry):
-            x, it, dec, ok = carry
-            return (it < max_iter) & ok & (dec / 2.0 >= tol)
+            x, it, dec, ok, step = carry
+            # step < 1e-8: the line search is crawling at the f64 floor
+            # (measured 2x60 wasted iterations per solve without this)
+            return (it < max_iter) & ok & (dec / 2.0 >= tol) & (step >= 1e-8)
 
         def body(carry):
-            x, it, _, _ = carry
-            xn, dec, ok = newton_step(x, t)
-            return (xn, it + 1, dec, ok)
+            x, it, _, _, _ = carry
+            xn, dec, ok, step = newton_step(x, t)
+            return (xn, it + 1, dec, ok, step)
 
-        return jax.lax.while_loop(
+        x, it, dec, ok, _ = jax.lax.while_loop(
             cond,
             body,
-            (x, jnp.asarray(0), jnp.asarray(jnp.inf, x.dtype), jnp.asarray(True)),
+            (x, jnp.asarray(0), jnp.asarray(jnp.inf, x.dtype),
+             jnp.asarray(True), jnp.asarray(1.0, x.dtype)),
         )
+        return x, it, dec, ok
 
     t = t0
     for _outer in range(max_outer):
@@ -316,7 +321,8 @@ class QuadBarrierSolver:
             ok = jnp.isfinite(vals) & (vals <= v0 - 1e-4 * stepsj * dec)
             any_ok = jnp.any(ok)
             idx = jnp.argmax(ok)
-            return jnp.where(any_ok, cand[idx], x), dec, any_ok
+            step_sel = jnp.where(any_ok, stepsj[idx], 0.0).astype(x.dtype)
+            return jnp.where(any_ok, cand[idx], x), dec, any_ok, step_sel
 
         def newton_run(x, t, H, q, tol, max_iter):
             """A whole centering stage in ONE dispatch: lax.while_loop
@@ -325,16 +331,22 @@ class QuadBarrierSolver:
             through the runtime — a stage used to be 20-60 of them."""
 
             def cond(carry):
-                x, it, dec, ok = carry
-                return (it < max_iter) & ok & (dec / 2.0 >= tol)
+                x, it, dec, ok, step = carry
+                # step < 1e-8: line search crawling at the f64 floor
+                return (
+                    (it < max_iter) & ok & (dec / 2.0 >= tol) & (step >= 1e-8)
+                )
 
             def body(carry):
-                x, it, _, _ = carry
-                xn, dec, ok = newton_step(x, t, H, q)
-                return (xn, it + 1, dec, ok)
+                x, it, _, _, _ = carry
+                xn, dec, ok, step = newton_step(x, t, H, q)
+                return (xn, it + 1, dec, ok, step)
 
-            x, it, dec, ok = jax.lax.while_loop(
-                cond, body, (x, jnp.asarray(0), jnp.asarray(jnp.inf, x.dtype), jnp.asarray(True))
+            x, it, dec, ok, _ = jax.lax.while_loop(
+                cond,
+                body,
+                (x, jnp.asarray(0), jnp.asarray(jnp.inf, x.dtype),
+                 jnp.asarray(True), jnp.asarray(1.0, x.dtype)),
             )
             return x, it, dec, ok
 
