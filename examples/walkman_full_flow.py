@@ -52,6 +52,7 @@ iopt = load_config(None, overrides=dict(floatingBase=1,
     limitMassToApriori=1, limitMassAprioriBoundary=0.5,
     cadRegularizationMode="observability",
     useStructuralRegressor=1, randomSamples=2000,
+    materializeRegressor=0,  # stream Grams: faster + memory-unbounded at 30 DOF
     estimateWith="std", verbose=0))
 t0=time.time()
 idf = Identification(iopt, urdf)
