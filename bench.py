@@ -62,6 +62,80 @@ def run_pipeline(idf, samples):
     return idf
 
 
+def run_humanoid30():
+    """Walkman-scale second metric (VERDICT r1 #2): streamed-Gram
+    identification of the bundled 30-DOF humanoid at the reference's
+    walking-log scale (13 770 samples, 200 Hz,
+    documentation/analysis_findings.md:122-129), SDP included.
+    Returns a details dict."""
+    import jax
+
+    from flobaroid_tpu.identification.identifier import Identification
+    from flobaroid_tpu.model import Model
+    from flobaroid_tpu.utils.config import load_config
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    src_urdf = os.path.join(here, "examples", "models", "humanoid30.urdf")
+    tmpdir = tempfile.mkdtemp(prefix="flobaroid_bench30_")
+    urdf = os.path.join(tmpdir, "humanoid30.urdf")
+    shutil.copy(src_urdf, urdf)
+    # reuse the repo-cached structural regressor QR (options must match)
+    cache = src_urdf + ".regressor.npz"
+    if os.path.exists(cache):
+        shutil.copy(cache, urdf + ".regressor.npz")
+
+    opt = load_config(None, overrides=dict(
+        floatingBase=1,
+        identifyFrictionSimultaneously=1, identifySymmetricVelFriction=1,
+        constrainToConsistent=1, limitOverallMass=1, limitMassRange=5.0,
+        limitMassToApriori=1, limitMassAprioriBoundary=0.5,
+        cadRegularizationMode="observability",
+        useStructuralRegressor=1, randomSamples=2000,
+        materializeRegressor=0,  # stream Grams (memory-unbounded at 30 DOF)
+        estimateWith="std", verbose=0))
+
+    idf = Identification(dict(opt), urdf)
+    m = idf.model
+    nd = m.num_dofs
+    N = 13770
+    rng = np.random.default_rng(0)
+    lims = m.limits
+    lo = np.array([lims[j]["lower"] for j in m.jointNames])
+    hi = np.array([lims[j]["upper"] for j in m.jointNames])
+    samples = {
+        "positions": lo + (hi - lo) * rng.random((N, nd)),
+        "velocities": (rng.random((N, nd)) - 0.5) * 2,
+        "accelerations": (rng.random((N, nd)) - 0.5) * 2,
+        "torques": np.zeros((N, nd)),
+        "times": np.arange(N) / 200.0, "frequency": np.float64(200.0),
+        "base_rpy": np.zeros((N, 3)), "base_velocity": np.zeros((N, 6)),
+        "base_acceleration": np.zeros((N, 6)),
+    }
+    tau = m.simulate_dynamics(samples, np.arange(N))
+    samples["torques"] = tau[:, 6:] + rng.normal(0, 0.05, (N, nd))
+
+    # warmup pass (compile + solver-structure cache), then timed pass
+    idf.data.init_from_data(dict(samples))
+    idf.estimateParameters()
+    t0 = time.time()
+    idf.data.init_from_data(dict(samples))
+    idf.estimateParameters()
+    wall = time.time() - t0
+
+    rel = float(np.linalg.norm(idf.model.xBase - idf.model.xBaseModel)
+                / np.linalg.norm(idf.model.xBaseModel))
+    rows = N * (6 + nd)
+    shutil.rmtree(tmpdir, ignore_errors=True)
+    return {
+        "wallclock_s": round(wall, 3),
+        "rows_per_sec": int(rows / wall),
+        "n_samples": N,
+        "torque_residual_pct": round(float(idf.res_error), 4),
+        "base_param_distance": round(rel, 5),
+        "sdp_status": idf.sdp.last_status,
+    }
+
+
 def main():
     import jax
 
@@ -147,6 +221,13 @@ def main():
     consistent = is_physical_consistent(
         xf[: idf.model.num_model_params], idf.model.num_links
     )
+
+    # second metric: walkman-scale streamed identification (30 DOF)
+    try:
+        h30 = run_humanoid30()
+    except Exception as e:  # must never take down the headline metric
+        h30 = {"error": f"{type(e).__name__}: {e}"}
+
     ok = res_error < 1.0 and xb_err < 0.05 and consistent
     result = {
         "metric": "sevenlink_simulate_identify_ols_sdp_wallclock",
@@ -162,6 +243,7 @@ def main():
             "physically_consistent": bool(consistent),
             "sdp_status": idf.sdp.last_status if idf.sdp else None,
             "n_samples": n_samples,
+            "humanoid30_streamed_identify": h30,
         },
     }
     print(json.dumps(result))

@@ -81,6 +81,13 @@ class Data:
         self.file_boundaries = [0]
         for group in measurements_files:
             for fn in group:
+                with open(fn, "rb") as fh:
+                    head = fh.read(64)
+                if head.startswith(b"version https://git-lfs"):
+                    raise OSError(
+                        f"{fn} is a git-lfs pointer stub, not real data — "
+                        f"fetch it with 'git lfs pull' in the source repository"
+                    )
                 m = np.load(fn, encoding="latin1", allow_pickle=True)
                 n_new = m["positions"].shape[0] - so
                 self.file_boundaries.append(self.file_boundaries[-1] + n_new)
@@ -276,21 +283,97 @@ class Data:
     # ------------------------------------------------------------------
     # block selection (Venture 2009; reference data.py:205-344)
     # ------------------------------------------------------------------
+    def num_blocks(self) -> int:
+        bs = int(self.opt["blockSize"])
+        return max(1, self.measurements["positions"].shape[0] // bs)
+
     def select_blocks(self, score_fn: Callable[[dict], float]) -> None:
         """Split the loaded measurements into blocks of `blockSize`
         samples, score each via score_fn (lower is better; the reference
         uses the base-regressor condition number), keep the best
         `selectBestPerenctage` percent and reassemble with rebased time."""
         bs = int(self.opt["blockSize"])
-        n = self.measurements["positions"].shape[0]
-        n_blocks = max(1, n // bs)
+        n_blocks = self.num_blocks()
         scores = []
         for b in range(n_blocks):
             sub = self._slice(self.measurements, b * bs, (b + 1) * bs)
             scores.append(score_fn(sub))
-        order = np.argsort(scores)
-        keep = max(1, int(round(n_blocks * float(self.opt["selectBestPerenctage"]) / 100.0)))
-        self.selected_blocks = sorted(int(i) for i in order[:keep])
+        self.select_blocks_from_stats(np.asarray(scores, dtype=float))
+
+    def select_blocks_from_stats(
+        self,
+        conds,
+        link_conds=None,
+        grams=None,
+    ) -> None:
+        """Venture-2009 block selection from precomputed per-block stats
+        (reference data.py:205-344 + identifier.py:1564-1589):
+
+        1. keep blocks at/below the `selectBestPerenctage` percentile of
+           base-regressor condition numbers (data.py:258-262),
+        2. drop blocks whose per-link subregressor-cond variance pattern
+           near-duplicates a kept one (<15% apart, data.py:282-311),
+        3. greedy keep-if-improves pass: re-admit unused blocks (in
+           cond order) whenever they IMPROVE the conditioning of the
+           assembled selection — evaluated exactly from the per-block
+           base Grams (cond2(Y_union) = sqrt(cond2(sum G_b))).
+        """
+        conds = np.asarray(conds, dtype=float)
+        n_blocks = len(conds)
+        perc = np.percentile(conds, float(self.opt["selectBestPerenctage"]))
+        used = [b for b in range(n_blocks) if conds[b] <= perc]
+        unused = [b for b in range(n_blocks) if b not in used]
+        if self.opt.get("verbose"):
+            for b in unused:
+                print(f"not using block {b} (cond {conds[b]:.3g})")
+
+        # near-duplicate variance patterns (reference data.py:282-311)
+        if link_conds is not None and len(used) > 2:
+            lc = np.asarray([link_conds[b] for b in used], dtype=float)
+            finite = np.where(np.isfinite(lc), lc, 0.0)
+            variances = np.var(finite, axis=1)
+            sort_idx = np.argsort(variances)
+            dist = 0.15
+            to_delete = []
+            i = 1
+            c = len(used)
+            while i < c:
+                if (
+                    i < c - 1
+                    and abs(variances[sort_idx][i - 1] - variances[sort_idx][i + 1])
+                    < abs(variances[sort_idx][i + 1]) * dist
+                ):
+                    to_delete.append(sort_idx[i])
+                    i += 1
+                elif (
+                    abs(variances[sort_idx][i - 1] - variances[sort_idx][i])
+                    < abs(variances[sort_idx][i]) * dist
+                ):
+                    to_delete.append(sort_idx[i - 1])
+                i += 1
+            dropped = {used[d] for d in to_delete}
+            if dropped and self.opt.get("verbose"):
+                print(f"dropping near-duplicate blocks {sorted(dropped)}")
+            unused = sorted(set(unused) | dropped)
+            used = [b for b in used if b not in dropped]
+
+        # greedy keep-if-improves refinement on exact union conditioning
+        if grams is not None and used:
+            def union_cond(sel):
+                G = np.sum([grams[b] for b in sel], axis=0)
+                ev = np.linalg.eigvalsh(G)
+                return np.inf if ev[0] <= 0 else float(np.sqrt(ev[-1] / ev[0]))
+
+            cur = union_cond(used)
+            for b in sorted(unused, key=lambda b: conds[b]):
+                cand = union_cond(used + [b])
+                if cand < cur:
+                    used.append(b)
+                    cur = cand
+                    if self.opt.get("verbose"):
+                        print(f"re-admitting block {b}: union cond -> {cur:.3g}")
+
+        self.selected_blocks = sorted(used) or [int(np.argmin(conds))]
         self.assemble_selected_blocks()
 
     def assemble_selected_blocks(self) -> None:

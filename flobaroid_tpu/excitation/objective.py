@@ -300,6 +300,35 @@ class TrajectoryObjective:
 
         self._adam_run = jax.jit(adam_run, static_argnames=("lr", "n_steps"))
 
+        # augmented Lagrangian (Rockafellar form for inequalities):
+        #   L(x; lam, rho) = f + 1/(2 rho) * sum( max(0, lam + rho g)^2 - lam^2 )
+        # multiplier update (host side): lam <- max(0, lam + rho g(x)).
+        # Unlike the quadratic penalty, active constraints get exact
+        # multipliers, so feasibility does not require rho -> inf
+        # (replaces IPOPT's interior feasibility guarantee,
+        # reference excitation/optimizer.py:1138-1250)
+        def al_value(x, dopt_scale, lam, rho):
+            f, g, _ = evaluate(x, dopt_scale)
+            t = jnp.maximum(0.0, lam + rho * g)
+            return f + (0.5 / rho) * jnp.sum(t**2 - lam**2)
+
+        def al_run(x, lo, hi, dopt_scale, lam, rho, lr, n_steps):
+            opt = optax.adam(learning_rate=lr)
+            state = opt.init(x)
+
+            def step(carry, _):
+                x, state = carry
+                v, g = jax.value_and_grad(al_value)(x, dopt_scale, lam, rho)
+                g = jnp.where(jnp.isfinite(g), g, 0.0)
+                updates, state = opt.update(g, state)
+                x = jnp.clip(x + updates, lo, hi)
+                return (x, state), v
+
+            (x, _), vals = jax.lax.scan(step, (x, state), None, length=n_steps)
+            return x, vals[-1]
+
+        self._al_run = jax.jit(al_run, static_argnames=("lr", "n_steps"))
+
     # ------------------------------------------------------------------
     def calibrate_scale(self, x0: np.ndarray):
         """Set the D-optimality scaling so the initial value is ~10
@@ -341,6 +370,36 @@ class TrajectoryObjective:
             n_steps,
         )
         return np.asarray(xj), float(v)
+
+    def al_refine(self, x, lo, hi, lam, rho, lr=0.01, n_steps=200):
+        """One fused augmented-Lagrangian Adam stage on device."""
+        xj, v = self._al_run(
+            jnp.asarray(x, self.dtype),
+            jnp.asarray(lo, self.dtype),
+            jnp.asarray(hi, self.dtype),
+            self.dopt_scale,
+            jnp.asarray(lam, self.dtype),
+            jnp.asarray(rho, self.dtype),
+            lr,
+            n_steps,
+        )
+        return np.asarray(xj), float(v)
+
+    def kinematics(self, x):
+        """Sampled (Q, base_rot, base_pos) of a candidate — the same
+        chain the objective traces, exposed for the dense mesh-tier
+        collision verification (reference optimizer.py:1099-1132)."""
+        Q, V, A = fourier_traj(self.spec, jnp.asarray(x, self.dtype), jnp.asarray(self.times, self.dtype))
+        if self.suspended is not None:
+            dt_samp = float(self.times[1] - self.times[0])
+            rpy_s, pos_s, _ = self.suspended.simulate_core(
+                Q, V, A, jnp.asarray(self._att_rpy0, self.dtype), dt_samp
+            )
+            from ..dynamics import spatial as sp
+
+            BR = jnp.swapaxes(sp.rpy_to_rot(rpy_s), -1, -2)
+            return np.asarray(Q), np.asarray(BR), np.asarray(pos_s)
+        return np.asarray(Q), None, None
 
     def feasible(self, g, tol=None):
         """Constraint feasibility with the reference's minTolConstr

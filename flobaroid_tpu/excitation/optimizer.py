@@ -3,24 +3,57 @@
 Counterpart of the reference's excitation/optimizer.py +
 trajectoryOptimizer.py driver: the Optuna TPE/NSGA-II worker-process
 swarm (optimizer.py:52-147, SQLite-backed) becomes a vmapped
-cross-entropy / elite evolution search evaluating whole candidate
-populations in one device call, and the IPOPT local stage
-(optimizer.py:1138-1250) becomes penalty-scheduled Adam over the exact
-jax.grad of the objective chain (no finite differences, no
-multiprocessing gradient pool).
+cross-entropy / elite evolution search (with restarts) evaluating
+whole candidate populations in one device call, and the IPOPT local
+stage (optimizer.py:1138-1250) becomes an augmented-Lagrangian method
+over the exact jax.grad of the objective chain: per-stage multiplier
+updates give active constraints exact multipliers, so feasibility does
+not rest on penalty weights going to infinity (no finite differences,
+no multiprocessing gradient pool).
 
 Feasibility handling mirrors the reference: infeasible candidates are
 repaired by scaling their Fourier amplitudes down
 (globalOptAmplitudeRepair, trajectoryOptimizer.py:721-764), the best
 feasible solution is tracked across both stages, and Ctrl-C returns
-best-so-far.
+best-so-far (reference trajectoryOptimizer.py:860-882).
 """
 
 from __future__ import annotations
 
+import signal
+
 import numpy as np
 from .objective import TrajectoryObjective
 from .trajectory import FourierSpec
+
+
+class InterruptGuard:
+    """SIGINT -> set a flag instead of raising; the optimization loops
+    poll it and return best-so-far (reference
+    trajectoryOptimizer.py:860-882, optimizer.py:1050-1060)."""
+
+    def __init__(self):
+        self.hit = False
+        self._prev = None
+
+    def __enter__(self):
+        def handler(signum, frame):
+            print("interrupt: returning best solution found so far")
+            self.hit = True
+
+        try:
+            self._prev = signal.signal(signal.SIGINT, handler)
+        except ValueError:  # not in the main thread
+            self._prev = None
+        return self
+
+    def __exit__(self, *exc):
+        if self._prev is not None:
+            signal.signal(signal.SIGINT, self._prev)
+        return False
+
+    def __call__(self):
+        return self.hit
 
 
 def build_bounds(spec: FourierSpec, config: dict, limits_rad=None):
@@ -77,48 +110,56 @@ def global_search(
     seeds: list[np.ndarray] | None = None,
     rng=None,
     penalty: float = 100.0,
+    should_stop=None,
 ):
-    """Cross-entropy / elite evolution over the bounded parameter box,
-    one device call per generation (replaces Optuna TPE workers)."""
+    """Cross-entropy / elite evolution over the bounded parameter box
+    with independent restarts, one device call per generation (replaces
+    the Optuna TPE worker swarm; populations are nearly free per
+    generation under vmap, so the default budget is deliberately much
+    larger than the reference's trial counts)."""
     rng = rng or np.random.default_rng(0)
     spec = obj.spec
     lo, hi = build_bounds(spec, config)
-    pop = max(int(config.get("globalOptSize", 12)), 8)
+    pop = max(int(config.get("globalOptSize", 256)), 8)
     iters = max(int(config.get("globalOptIterations", 10)), 1)
+    restarts = max(int(config.get("globalOptRestarts", 2)), 1)
     dim = spec.dim
 
-    mean = initial_candidate(spec, config, rng)
-    mean = np.clip(mean, lo, hi)
-    sigma = 0.3 * (hi - lo)
-
-    best_x, best_f, best_feas = mean.copy(), np.inf, False
+    best_x, best_f, best_feas = None, np.inf, False
 
     def penalized(fv, gv):
         viol = np.maximum(gv, 0.0)
         return fv + penalty * (viol**2).sum(axis=-1) + 0.1 * penalty * viol.sum(axis=-1)
 
-    for it in range(iters):
-        X = mean[None, :] + sigma[None, :] * rng.standard_normal((pop, dim))
-        X = np.clip(X, lo, hi)
-        X[0] = mean  # elitism
-        if it == 0 and seeds:
-            for k, s in enumerate(seeds[: pop - 1]):
-                X[k + 1] = np.clip(s, lo, hi)
-        f, g, _ = obj.evaluate_batch(X)
-        feas = np.all(g <= 0, axis=1)
-        score = penalized(f, g)
-        order = np.argsort(score)
-        # track best (feasible beats infeasible)
-        for i in order:
-            if feas[i] and (not best_feas or f[i] < best_f):
-                best_x, best_f, best_feas = X[i].copy(), float(f[i]), True
-                break
-        if not best_feas and float(score[order[0]]) < best_f:
-            best_x, best_f = X[order[0]].copy(), float(score[order[0]])
-        n_elite = max(pop // 4, 2)
-        elite = X[order[:n_elite]]
-        mean = elite.mean(axis=0)
-        sigma = elite.std(axis=0) * 1.2 + 1e-4 * (hi - lo)
+    for r in range(restarts):
+        mean = np.clip(initial_candidate(spec, config, rng), lo, hi)
+        if best_x is None:
+            best_x = mean.copy()
+        sigma = 0.3 * (hi - lo)
+        for it in range(iters):
+            if should_stop is not None and should_stop():
+                return best_x, best_f, best_feas
+            X = mean[None, :] + sigma[None, :] * rng.standard_normal((pop, dim))
+            X = np.clip(X, lo, hi)
+            X[0] = mean  # elitism
+            if it == 0 and seeds and r == 0:
+                for k, s in enumerate(seeds[: pop - 1]):
+                    X[k + 1] = np.clip(s, lo, hi)
+            f, g, _ = obj.evaluate_batch(X)
+            feas = np.all(g <= 0, axis=1)
+            score = penalized(f, g)
+            order = np.argsort(score)
+            # track best (feasible beats infeasible)
+            for i in order:
+                if feas[i] and (not best_feas or f[i] < best_f):
+                    best_x, best_f, best_feas = X[i].copy(), float(f[i]), True
+                    break
+            if not best_feas and float(score[order[0]]) < best_f:
+                best_x, best_f = X[order[0]].copy(), float(score[order[0]])
+            n_elite = max(pop // 4, 2)
+            elite = X[order[:n_elite]]
+            mean = elite.mean(axis=0)
+            sigma = elite.std(axis=0) * 1.2 + 1e-4 * (hi - lo)
     if not best_feas and config.get("globalOptAmplitudeRepair", 1):
         best_x, best_feas = amplitude_repair(obj, best_x)
         if best_feas:
@@ -130,13 +171,20 @@ def local_refine(
     obj: TrajectoryObjective,
     config: dict,
     x0: np.ndarray,
-    penalties=(10.0, 100.0, 1000.0),
+    should_stop=None,
 ):
-    """Penalty-scheduled Adam on the exact gradient (replaces IPOPT +
-    FD/multiprocessing gradients)."""
+    """Augmented-Lagrangian refinement on the exact gradient (replaces
+    IPOPT + FD/multiprocessing gradients, reference
+    excitation/optimizer.py:1138-1250). Per stage: one fused on-device
+    Adam run on L(x; lam, rho), then the first-order multiplier update
+    lam <- max(0, lam + rho g(x)); rho grows only while infeasibility
+    stalls. Active constraints converge to exact multipliers, so the
+    final iterate is feasible without amplitude backoff in the regular
+    case (the repair stays as a last resort)."""
     spec = obj.spec
     lo, hi = build_bounds(spec, config)
     iters = max(int(config.get("localOptIterations", 10)), 1) * 40
+    stages = max(int(config.get("localOptStages", 6)), 1)
     x = np.clip(np.array(x0, dtype=float), lo, hi)
     best_x, best_f, best_feas = x.copy(), np.inf, False
 
@@ -144,13 +192,22 @@ def local_refine(
     if obj.feasible(g0):
         best_x, best_f, best_feas = x.copy(), f0, True
 
-    for w in penalties:
-        # one fused on-device Adam run per penalty stage
-        x, _ = obj.adam_refine(x, lo, hi, w, lr=0.01, n_steps=iters)
+    lam = np.zeros_like(g0)
+    rho = 10.0
+    prev_viol = float(np.max(np.maximum(g0, 0.0)))
+    for _s in range(stages):
+        if should_stop is not None and should_stop():
+            break
+        x, _ = obj.al_refine(x, lo, hi, lam, rho, lr=0.01, n_steps=iters)
         x = np.clip(x, lo, hi)
         f, g, _ = obj.evaluate(x)
+        viol = float(np.max(np.maximum(g, 0.0)))
         if obj.feasible(g) and f < best_f:
             best_x, best_f, best_feas = x.copy(), float(f), True
+        lam = np.maximum(0.0, lam + rho * np.asarray(g))
+        if viol > 0.25 * max(prev_viol, 1e-12):
+            rho = min(rho * 4.0, 1e6)
+        prev_viol = viol
     if not best_feas:
         xr, ok = amplitude_repair(obj, x)
         if ok:
@@ -180,6 +237,8 @@ def optimize_trajectory(model, config, yty_prior=None, seeds=None, rng=None):
     # trajectoryOptimizer.py:340-437): periodic part at swung base
     # poses + min-jerk transition ramps at representative poses
     extra_fn = None
+    cm = None
+    world_tree = None
     if config.get("checkCollisions", 1):
         from ..collision import CollisionModel
         from ..models.urdf import load_urdf
@@ -228,14 +287,53 @@ def optimize_trajectory(model, config, yty_prior=None, seeds=None, rng=None):
     info = {}
     x = x0
     feas = False
-    if config.get("useGlobalOptimization", 1):
-        x, f, feas = global_search(obj, config, seeds=seeds, rng=rng)
-        info["global_f"] = f
-        info["global_feasible"] = feas
-    if config.get("useLocalOptimization", 1):
-        x, f, feas = local_refine(obj, config, x)
-        info["local_f"] = f
-        info["local_feasible"] = feas
+    with InterruptGuard() as guard:
+        if config.get("useGlobalOptimization", 1):
+            x, f, feas = global_search(obj, config, seeds=seeds, rng=rng,
+                                       should_stop=guard)
+            info["global_f"] = f
+            info["global_feasible"] = feas
+        if config.get("useLocalOptimization", 1) and not guard():
+            x, f, feas = local_refine(obj, config, x, should_stop=guard)
+            info["local_f"] = f
+            info["local_feasible"] = feas
+        info["interrupted"] = guard()
+
+        # dense mesh-tier verification of the winning candidate
+        # (reference sparse-then-dense pattern, optimizer.py:1099-1132):
+        # capsules are the differentiable optimizer geometry; the exact
+        # convex-hull pass must ALSO hold before feasibility is declared
+        mode = str(config.get("collisionMode", "convex"))
+        if (
+            cm is not None
+            and cm.num_pairs
+            and mode != "capsule"
+            and not guard()
+        ):
+            from ..collision_mesh import MeshCollisionVerifier
+
+            ver = MeshCollisionVerifier(
+                model.tree, model.engine, config, cm, world_tree=world_tree
+            )
+            if ver.num_pairs:
+                n = spec.num_dofs
+                for attempt in range(10):
+                    Q, BR, BP = obj.kinematics(x)
+                    ok, bad = ver.verify(
+                        Q, base_rot=BR, base_pos=BP,
+                        step=int(config.get("collisionCheckStep", 3)),
+                    )
+                    if ok:
+                        break
+                    if attempt == 0:
+                        print(f"mesh verification: {len(bad)} pair(s) violate "
+                              f"exact geometry (worst {min(d for _, d in bad):.4f} m) "
+                              f"— backing off amplitudes")
+                    x = np.array(x, dtype=float)
+                    x[1 + n:] *= 0.85
+                info["mesh_collision_ok"] = bool(ok)
+                if not ok:
+                    print(f"mesh verification still failing: {bad[:4]}")
     fv, gv, n_obs = obj.evaluate(x)
-    info.update(f=fv, max_violation=float(np.max(gv)), feasible=obj.feasible(gv), n_observable=int(n_obs))
+    info.update(f=fv, max_violation=float(np.max(gv)), feasible=obj.feasible(gv) and info.get("mesh_collision_ok", True), n_observable=int(n_obs))
     return x, spec, obj, info

@@ -251,11 +251,16 @@ class Identification:
                 # Reweighting is a rescale of the per-channel Gram blocks.
                 m._set_streaming_aggregates(w_ch**2)
                 self.identifyBaseParameters(id_only=True)
+                # restore the measurement-metric aggregates so later
+                # residual/σ computations are physical
+                m._set_streaming_aggregates(np.ones_like(w_ch))
                 return
+            # solve on WEIGHTED COPIES: m.YBase/m.tau stay in the
+            # measurement metric so later residuals/plots are physical
+            # (round-1 bug: in-place reweighting leaked into
+            # estimateRegressorTorques)
             W = np.tile(w_ch, self.data.num_used_samples)
-            m.YBase = m.YBase * W[:, None]
-            m.tau = m.tau * W
-            self.identifyBaseParameters(m.YBase, m.tau, id_only=True)
+            self.identifyBaseParameters(m.YBase * W[:, None], m.tau * W, id_only=True)
 
     def _extractBaseWrenchRows(self):
         """Ayusawa base-wrench-only equations + optional per-file inverse

@@ -463,9 +463,18 @@ class SDP:
         if m.YBase is None:
             # streaming mode: R1 from the Cholesky of the base Gram
             # (Y = Q R  =>  Y^T Y = R^T R, so chol(G)^T is a valid R),
-            # rho1 = Q^T tau = R^{-T} Y^T tau = R^{-T} g_base
+            # rho1 = Q^T tau = R^{-T} Y^T tau = R^{-T} g_base.
+            # f32-accumulated Grams can carry O(1e-7*trace) negative
+            # eigenvalues — grow the ridge until the factorization holds
             lam = 1e-12 * max(float(np.trace(m.G_base)) / nb, 1.0)
-            R1 = sla.cholesky(m.G_base + lam * np.eye(nb), lower=False)
+            for _ in range(20):
+                try:
+                    R1 = sla.cholesky(m.G_base + lam * np.eye(nb), lower=False)
+                    break
+                except la.LinAlgError:
+                    lam *= 100.0
+            else:
+                raise la.LinAlgError("base Gram not factorizable even with ridge")
             rho1 = sla.solve_triangular(R1.T, m.g_base, lower=True)
             contacts = sla.solve_triangular(R1.T, m.g_cf_base, lower=True)
         else:

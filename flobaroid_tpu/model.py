@@ -945,10 +945,24 @@ class Model:
             eqs.append(" ".join(terms).lstrip("+ "))
         return eqs
 
-    def getSubregressorsConditionNumbers(self) -> list[float]:
+    def getSubregressorsConditionNumbers(self, YBase=None, G=None) -> list[float]:
         """Per-link condition number of the base columns its parameters
-        contribute to (reference model.py:1054-1086)."""
+        contribute to (reference model.py:1054-1086). Works from an
+        explicit stacked regressor / base Gram (block selection), the
+        model's materialized YBase, or the streamed base Gram."""
         minTol = float(self.opt["minTol"])
+        if YBase is None and G is None:
+            YBase = self.YBase
+            if YBase is None:
+                # streaming mode (materializeRegressor=0): the column
+                # subregressor is never stacked, but cond2(Y[:, cols]) =
+                # sqrt(cond2(G[cols, cols])) from the base Gram
+                G = getattr(self, "G_base", None)
+                if G is None:
+                    raise ValueError(
+                        "subregressor condition numbers need computeRegressors "
+                        "to have run (YBase or the streamed base Gram)"
+                    )
         conds = []
         for i in range(self.num_links):
             cols = []
@@ -962,6 +976,13 @@ class Model:
                         cols.append(j)
             if not cols:
                 conds.append(1e16)
+            elif YBase is not None:
+                conds.append(float(np.linalg.cond(YBase[:, cols])))
             else:
-                conds.append(float(np.linalg.cond(self.YBase[:, cols])))
+                sub = np.asarray(G)[np.ix_(cols, cols)]
+                ev = np.linalg.eigvalsh(sub)
+                lo_ev = float(ev[0])
+                conds.append(
+                    1e16 if lo_ev <= 0 else float(np.sqrt(ev[-1] / lo_ev))
+                )
         return conds

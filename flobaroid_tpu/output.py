@@ -240,6 +240,30 @@ class OutputMatplotlib:
         fig.suptitle("joint torques")
         figs.append(("Joint torques", fig))
 
+        # validation torques on the held-out file (reference
+        # identifier.py:1170-1422 adds a validation figure set when
+        # --validation was given)
+        if getattr(idf, "tauEstimatedValidation", None) is not None:
+            Tv = idf.Tv
+            tauMv = idf.tauMeasuredValidation
+            tauEv = idf.tauEstimatedValidation
+            ncols = 3
+            nrows = int(np.ceil(n_show / ncols))
+            fig, axes = plt.subplots(nrows, ncols, figsize=(12, 2.6 * nrows),
+                                     constrained_layout=True, squeeze=False)
+            for j in range(n_show):
+                ax = axes[j // ncols][j % ncols]
+                ax.plot(Tv, tauMv[:, fb + j], label="measured", lw=0.8)
+                ax.plot(Tv, tauEv[:, fb + j], label="predicted", lw=0.8)
+                ax.set_title(m.jointNames[j], fontsize=8)
+                ax.grid(alpha=0.3)
+            axes[0][0].legend(fontsize=7)
+            fig.suptitle(
+                f"validation torques (held-out): {idf.val_error:.3f}% rel, "
+                f"{idf.val_nrms:.3f}% NRMS"
+            )
+            figs.append(("Validation torques", fig))
+
         # measured states
         idx = np.arange(idf.data.num_used_samples) * (int(opt["skipSamples"]) + 1)
         for key, title in (("positions", "joint positions"), ("velocities", "joint velocities")):

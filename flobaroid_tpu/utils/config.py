@@ -20,10 +20,12 @@ DEFAULTS: dict[str, Any] = {
     # ---- trajectory generation / excitation ----
     "optimizeTrajectory": 1,
     "useGlobalOptimization": 1,
-    "globalOptIterations": 10,
-    "globalOptSize": 12,
+    "globalOptIterations": 20,
+    "globalOptSize": 256,
+    "globalOptRestarts": 2,
     "useLocalOptimization": 1,
     "localOptIterations": 10,
+    "localOptStages": 6,
     "minTolConstr": 0.01,
     # display/interactive toggles accepted for reference-config compat;
     # headless no-ops here (reports are written as files instead)

@@ -70,22 +70,33 @@ def main():
         idf.data.remove_near_zero_samples()
 
     if config.get("selectBlocksFromMeasurements", 0):
-        # Venture-2009 block selection: score blocks by base-regressor
-        # condition number (reference identifier.py:1564-1589)
-        from flobaroid_tpu.data import Data
-        from flobaroid_tpu.model import Model
-
-        def score(sub):
-            d = Data(dict(config))
-            d.init_from_data(sub)
-            try:
-                idf.model.computeRegressors(d)
-                return float(np.linalg.cond(idf.model.YBase))
-            except Exception:
-                return 1e16
-
-        idf.data.select_blocks(score)
-        print(f"selected blocks: {idf.data.selected_blocks}")
+        # Venture-2009 block selection (reference identifier.py:1564-1589
+        # + data.py:205-344): ONE regressor pass over all measurements,
+        # then per-block base-regressor conds, per-link subregressor
+        # conds, near-duplicate variance dropping and a greedy
+        # keep-if-improves pass on exact union Grams
+        if not int(config.get("materializeRegressor", 1)):
+            raise ValueError(
+                "selectBlocksFromMeasurements needs materializeRegressor=1 "
+                "(per-block rows are sliced from the stacked regressor)"
+            )
+        m = idf.model
+        m.computeRegressors(idf.data)
+        rows_per = m.num_dofs + m.fb
+        skip = int(config["skipSamples"]) + 1
+        bs_used = max(int(config["blockSize"]) // skip, 1)
+        n_blocks = idf.data.num_blocks()
+        conds, link_conds, grams = [], [], []
+        for b in range(n_blocks):
+            r0 = b * bs_used * rows_per
+            r1 = min((b + 1) * bs_used * rows_per, m.YBase.shape[0])
+            Yb = m.YBase[r0:r1]
+            conds.append(float(np.linalg.cond(Yb)) if len(Yb) else 1e16)
+            grams.append(Yb.T @ Yb)
+            link_conds.append(m.getSubregressorsConditionNumbers(YBase=Yb))
+        idf.data.select_blocks_from_stats(conds, link_conds, grams)
+        print(f"selected blocks: {idf.data.selected_blocks} "
+              f"(conds {['%.3g' % c for c in conds]})")
 
     with jax_profile(config.get("jaxProfileDir")), stage_timer("estimation", config):
         idf.estimateParameters()
@@ -103,11 +114,14 @@ def main():
             )
         )
 
-    console = OutputConsole(idf)
-    text = console.render()
-
+    # validation must run BEFORE rendering so the console/report can show
+    # val_error/val_residual/val_nrms (reference identifier.py:303-320 prints
+    # them inside estimateValidationTorques; we print via OutputConsole)
     if args.validation:
         idf.estimateValidationTorques()
+
+    console = OutputConsole(idf)
+    text = console.render()
 
     if config.get("outputLatex", 0):
         print(console.render_latex())

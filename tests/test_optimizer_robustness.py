@@ -1,0 +1,113 @@
+"""Optimizer robustness: interrupt best-so-far, augmented-Lagrangian
+feasibility without amplitude repair, restart bookkeeping.
+
+Mirrors the reference's guarantees: Ctrl-C at any stage returns a
+usable trajectory (trajectoryOptimizer.py:860-882,
+optimizer.py:1050-1060) and the local stage ends feasible
+(IPOPT interior feasibility, optimizer.py:1138-1250)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from flobaroid_tpu.excitation import optimizer as optmod
+from flobaroid_tpu.excitation.optimizer import (
+    global_search,
+    initial_candidate,
+    local_refine,
+)
+from flobaroid_tpu.excitation.objective import TrajectoryObjective
+from flobaroid_tpu.excitation.trajectory import FourierSpec
+from flobaroid_tpu.model import Model
+from flobaroid_tpu.utils.config import load_config
+
+import jax.numpy as jnp
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+ARM_URDF = os.path.join(REPO, "examples", "models", "sevenlink_arm.urdf")
+
+
+@pytest.fixture(scope="module")
+def arm_obj():
+    opt = load_config(
+        None,
+        overrides=dict(
+            floatingBase=0,
+            useStructuralRegressor=1,
+            randomSamples=800,
+            computeDtype="float64",
+            excitationFrequency=50.0,
+            trajectoryPulseMin=1.0,
+            trajectoryPulseMax=2.0,
+            trajectoryDefaultNf=2,
+            globalOptSize=10,
+            globalOptIterations=3,
+            globalOptRestarts=2,
+            localOptIterations=2,
+            localOptStages=4,
+            checkCollisions=0,
+            verbose=0,
+        ),
+    )
+    model = Model(opt, ARM_URDF)
+    nf = tuple([2] * model.num_dofs)
+    lims = model.limits
+    spec = FourierSpec(
+        nf=nf,
+        limits=tuple((lims[j]["lower"], lims[j]["upper"]) for j in model.jointNames),
+    )
+    obj = TrajectoryObjective(model, opt, spec, dtype=jnp.float64)
+    x0 = initial_candidate(spec, opt, np.random.default_rng(0))
+    obj.calibrate_scale(x0)
+    return obj, opt
+
+
+def test_global_search_interrupt_returns_best_so_far(arm_obj):
+    obj, opt = arm_obj
+    calls = {"n": 0}
+
+    def stop_after_two():
+        calls["n"] += 1
+        return calls["n"] > 2
+
+    x, f, feas = global_search(obj, opt, should_stop=stop_after_two)
+    # stopped early, but a candidate (with its score) was still returned
+    assert x is not None and np.all(np.isfinite(x))
+    assert np.isfinite(f)
+
+
+def test_local_refine_interrupt_returns_start(arm_obj):
+    obj, opt = arm_obj
+    x0 = initial_candidate(obj.spec, opt, np.random.default_rng(1))
+    x, f, feas = local_refine(obj, opt, x0, should_stop=lambda: True)
+    assert np.all(np.isfinite(x))
+
+
+def test_augmented_lagrangian_feasible_without_repair(arm_obj, monkeypatch):
+    """From an infeasible start (oversized coefficients -> velocity/
+    torque violations), the AL stage must end feasible WITHOUT the
+    amplitude-backoff repair (VERDICT r1 #4 'done' criterion)."""
+    obj, opt = arm_obj
+    rng = np.random.default_rng(2)
+    x0 = initial_candidate(obj.spec, opt, rng)
+    x0[1 + obj.spec.num_dofs:] *= 3.0  # blow up amplitudes
+    f0, g0, _ = obj.evaluate(x0)
+    assert not obj.feasible(g0), "start must be infeasible for this test"
+
+    def no_repair(*a, **k):
+        raise AssertionError("amplitude repair must not be needed")
+
+    monkeypatch.setattr(optmod, "amplitude_repair", no_repair)
+    x, f, feas = local_refine(obj, opt, x0)
+    assert feas, "AL refinement did not reach feasibility"
+    fv, gv, _ = obj.evaluate(x)
+    assert obj.feasible(gv)
+
+
+def test_global_restarts_track_best(arm_obj):
+    obj, opt = arm_obj
+    cfg = dict(opt)
+    cfg.update(globalOptSize=8, globalOptIterations=2, globalOptRestarts=3)
+    x, f, feas = global_search(obj, cfg, rng=np.random.default_rng(3))
+    assert np.isfinite(f) and np.all(np.isfinite(x))
