@@ -99,6 +99,30 @@ def main():
     data.init_from_data(samples)
     data.preprocess()
 
+    if args.plot:
+        # headless plot of measured vs commanded (reference excite.py
+        # plots recordings after the run); written next to the output
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        nd = out["Q"].shape[1]
+        fig, axes = plt.subplots(2, 1, figsize=(12, 7), constrained_layout=True)
+        for j in range(nd):
+            axes[0].plot(out["T"], out["Q"][:, j], lw=0.7)
+            axes[0].plot(out["T"], out["Qsent"][:, j], lw=0.5, ls="--", alpha=0.6)
+        axes[0].set_title("positions: measured (solid) vs commanded (dashed)")
+        axes[0].grid(alpha=0.3)
+        for j in range(nd):
+            axes[1].plot(out["T"], out["Tau"][:, j], lw=0.7)
+        axes[1].set_title("measured torques")
+        axes[1].grid(alpha=0.3)
+        plot_file = args.filename.rsplit(".", 1)[0] + "_plot.png"
+        fig.savefig(plot_file, dpi=110)
+        plt.close(fig)
+        print(f"saved plot to {plot_file}")
+
     np.savez(
         args.filename,
         positions=data.samples["positions"],

@@ -234,8 +234,9 @@ class Identification:
             # weights only one side of the equation
             # (identifier.py:776-790); here the per-channel residual
             # noise weights BOTH sides, which is the estimator the cited
-            # papers describe.
-            self.estimateRegressorTorques("base")
+            # papers describe. (tauEstimated is fresh from the call
+            # above — recomputing it here costs a full streamed
+            # re-contraction at 30 DOF.)
             self.p_sigma_x = self.getStdDevForParams()
             res = (m.tauMeasured - self.tauEstimated).reshape(
                 self.data.num_used_samples, m.num_dofs + m.fb
@@ -517,6 +518,18 @@ class Identification:
             if opt["floatingBase"] or opt.get("identifyFrictionSimultaneously", 0):
                 self._postIdentifyFriction()
 
+        if m.YStd is None:
+            # streaming: compute both reporting contractions (a-priori +
+            # identified) in ONE pass over the data — building Y
+            # dominates and would otherwise run twice
+            xs = [np.asarray(m.xStdModel[m.identified_params], dtype=float)]
+            ew = opt["estimateWith"]
+            if ew in ("std", "std_direct") and len(m.xStd):
+                xs.append(np.asarray(m.xStd, dtype=float))
+            elif ew == "base":
+                Pb = m.B if opt["useBasisProjection"] else m.Pb
+                xs.append(np.asarray(Pb @ m.xBase, dtype=float))
+            m.prefetch_contractions(xs)
         self.estimateRegressorTorques("urdf")
         self.estimateRegressorTorques()
         self.res_error = helpers.relative_error_pct(m.tauMeasured, self.tauEstimated)

@@ -327,9 +327,33 @@ class Model:
         (replaces simulateDynamicsIDynTree, reference model.py:239-331)."""
         x = self.xStdModel if x is None else x
         Q, V, A, BR, BV, BA = self._gather_state(samples, idx)
-        # inertial torques via the (exact) regressor contraction Y @ pi
-        _, sim = self._batched_rows(Q, V, A, BR, BV, BA, pi=x[: self.num_model_params])
-        sim = np.array(sim, dtype=float)
+        # inertial torques via the (exact) regressor contraction Y @ pi.
+        # Fixed-size chunks (padded): one compiled shape serves every
+        # call — a fresh N here used to trigger a fresh multi-minute
+        # remote compile at walkman scale (13770 samples: 285 s) — and
+        # sim_only keeps the (N, rows, 10L) block out of HBM entirely
+        N = len(idx)
+        chunk = min(int(self.opt.get("gramChunk", 4096)), max(N, 16))
+        pi = x[: self.num_model_params]
+        parts = []
+        for s0 in range(0, N, chunk):
+            sl = slice(s0, s0 + chunk)
+            n_here = len(Q[sl])
+            padn = chunk - n_here
+
+            def p(a):
+                if a is None:
+                    return None
+                a = np.asarray(a[sl])
+                if padn:
+                    a = np.concatenate([a, np.repeat(a[-1:], padn, axis=0)])
+                return a
+
+            _, sim_c = self._batched_rows(
+                p(Q), p(V), p(A), p(BR), p(BV), p(BA), pi=pi, sim_only=True
+            )
+            parts.append(np.asarray(sim_c)[:n_here])
+        sim = np.concatenate(parts).astype(float)
         fric = self.friction_torques(samples, idx, x)
         sim[:, self.fb :] += fric
         return sim
@@ -340,6 +364,7 @@ class Model:
         torques_stack, contactForcesSum, tauMeasured, T."""
         opt = self.opt
         self.data = data
+        self._contract_cache = {}  # contractions are per-dataset
         nd, fb = self.num_dofs, self.fb
         rows = nd + fb
         skip = int(opt["skipSamples"])
@@ -521,11 +546,48 @@ class Model:
                 return G, g, gcf
 
             def contract_chunk(Q, V, A, BR, BV, BA, sign, vsig, x):
+                # x: (K, P) — several parameter vectors share one Y build
+                # (the reporting path needs tau_hat for urdf AND the
+                # identified params; building Y dominates the cost)
                 Y = build_Y(Q, V, A, BR, BV, BA, sign, vsig)
-                return jnp.einsum("nrp,p->nr", Y, x,
+                return jnp.einsum("nrp,kp->knr", Y, x,
                                   precision=jax.lax.Precision.HIGHEST)
 
-            self._regr_jit_cache[key] = (jax.jit(gram_chunk), jax.jit(contract_chunk))
+            def gram_scan(stacks, taus, cfs, masks):
+                """All chunks in ONE dispatch: lax.scan over the chunk
+                axis accumulating the per-channel Grams on device — the
+                per-chunk host loop fetched 3 aggregate arrays per chunk
+                (~26 MB each at 30 DOF) through the runtime relay.
+                stacks: (Q,V,A[,BR,BV,BA],sign,vsig), each (n_chunks,
+                chunk, ...)."""
+
+                def unpack(st):
+                    if floating:
+                        return st
+                    Q, V, A, sign, vsig = st
+                    return Q, V, A, None, None, None, sign, vsig
+
+                def step(carry, xs):
+                    G, g, gcf = carry
+                    st, tau, cf, mask = xs
+                    Gc, gc, gcfc = gram_chunk(*unpack(st), tau, cf, mask)
+                    return (G + Gc, g + gc, gcf + gcfc), None
+
+                rows = taus.shape[-1]
+                Y0 = build_Y(*unpack(tuple(s[0] for s in stacks)))
+                P = Y0.shape[-1]
+                dt0 = Y0.dtype
+                init = (
+                    jnp.zeros((rows, P, P), dt0),
+                    jnp.zeros((rows, P), dt0),
+                    jnp.zeros((rows, P), dt0),
+                )
+                (G, g, gcf), _ = jax.lax.scan(step, init, (stacks, taus, cfs, masks))
+                return G, g, gcf
+
+            self._regr_jit_cache[key] = (
+                jax.jit(gram_chunk), jax.jit(contract_chunk), jax.jit(gram_scan)
+            )
         return self._regr_jit_cache[key]
 
     def _stream_inputs(self, samples, idx, Q, V, A, BR, BV, BA):
@@ -547,7 +609,7 @@ class Model:
             )
         dt = self._compute_dtype()
         floating = bool(opt["floatingBase"])
-        gram_chunk, _ = self._streaming_fns(floating)
+        gram_chunk, _, gram_scan = self._streaming_fns(floating)
         sign, vsig = self._stream_inputs(samples, idx, Q, V, A, BR, BV, BA)
         tau2d = self.tau.reshape(N, rows)
         cf2d = self.contactForcesSum.reshape(N, rows)
@@ -576,8 +638,10 @@ class Model:
                 mesh = make_mesh(shards)
                 chunk = ((chunk + shards - 1) // shards) * shards
 
-                def shard_spec(a):
-                    return NamedSharding(mesh, PS("samples", *([None] * (a.ndim - 1))))
+                def shard_spec(a, sample_axis=0):
+                    axes = [None] * a.ndim
+                    axes[sample_axis] = "samples"
+                    return NamedSharding(mesh, PS(*axes))
 
         P = self.num_identified_params
         G = np.zeros((rows, P, P))
@@ -590,28 +654,50 @@ class Model:
                 return a
             return np.concatenate([a, np.zeros((r,) + a.shape[1:], a.dtype)], axis=0)
 
-        def to_dev(a):
+        def to_dev(a, sample_axis=0):
             aj = jnp.asarray(a, dt)
             if shard_spec is not None:
                 import jax as _jax
 
-                aj = _jax.device_put(aj, shard_spec(aj))
+                aj = _jax.device_put(aj, shard_spec(aj, sample_axis))
             return aj
 
         n_pad = ((N + chunk - 1) // chunk) * chunk
+        n_chunks = n_pad // chunk
         maskN = pad(np.ones((N, rows)), chunk)
         arrays = [pad(np.asarray(a), chunk) if a is not None else None
                   for a in (Q, V, A, BR, BV, BA, sign, vsig, tau2d, cf2d)]
-        for s0 in range(0, n_pad, chunk):
-            sl = slice(s0, s0 + chunk)
-            args = [
-                to_dev(a[sl]) if a is not None else None for a in arrays
-            ]
-            Gc, gc, gcfc = gram_chunk(*args[:8], args[8], args[9],
-                                      to_dev(maskN[sl]))
-            G += np.asarray(Gc, dtype=float)
-            g += np.asarray(gc, dtype=float)
-            gcf += np.asarray(gcfc, dtype=float)
+        if n_chunks <= 64:
+            # one dispatch for ALL chunks: stack (n_chunks, chunk, ...)
+            # and lax.scan-accumulate on device (fetch the aggregates
+            # once). Measured 6.3 s -> sub-second at 13770x30-DOF
+            # through the runtime relay. Chunk-axis sharding still
+            # applies inside each scan step.
+            def stackc(a):
+                return to_dev(
+                    a.reshape((n_chunks, chunk) + a.shape[1:]), sample_axis=1
+                )
+
+            st = [stackc(a) for a in arrays[:8] if a is not None]
+            Gj, gj, gcfj = gram_scan(
+                tuple(st), stackc(arrays[8]), stackc(arrays[9]), stackc(maskN)
+            )
+            G += np.asarray(Gj, dtype=float)
+            g += np.asarray(gj, dtype=float)
+            gcf += np.asarray(gcfj, dtype=float)
+        else:
+            # very long recordings: accumulate on host in f64 (an f32
+            # carry over hundreds of chunks would lose Gram precision)
+            for s0 in range(0, n_pad, chunk):
+                sl = slice(s0, s0 + chunk)
+                args = [
+                    to_dev(a[sl]) if a is not None else None for a in arrays
+                ]
+                Gc, gc, gcfc = gram_chunk(*args[:8], args[8], args[9],
+                                          to_dev(maskN[sl]))
+                G += np.asarray(Gc, dtype=float)
+                g += np.asarray(gc, dtype=float)
+                gcf += np.asarray(gcfc, dtype=float)
 
         self.YStd = None
         self.YBase = None
@@ -648,7 +734,35 @@ class Model:
 
     def contract_identified(self, x_identified) -> np.ndarray:
         """tau_hat = Y @ x recomputed on device in chunks (streaming mode,
-        where YStd is never materialized). Returns (N, rows)."""
+        where YStd is never materialized). Returns (N, rows). Cached per
+        parameter vector until the next computeRegressors — the
+        reporting path asks for the same contraction repeatedly."""
+        x = np.asarray(x_identified, dtype=float)
+        key = hash(x.tobytes())
+        cache = getattr(self, "_contract_cache", None)
+        if cache is None:
+            cache = self._contract_cache = {}
+        if key not in cache:
+            res = self.contract_identified_multi([x])[0]
+            cache[key] = res
+        return cache[key]
+
+    def prefetch_contractions(self, xs) -> None:
+        """Compute several contractions in ONE pass over the data (the
+        Y build dominates; reporting needs urdf + identified torques)."""
+        xs = [np.asarray(x, dtype=float) for x in xs]
+        cache = getattr(self, "_contract_cache", None)
+        if cache is None:
+            cache = self._contract_cache = {}
+        missing = [x for x in xs if hash(x.tobytes()) not in cache]
+        if not missing:
+            return
+        res = self.contract_identified_multi(missing)
+        for x, r in zip(missing, res):
+            cache[hash(x.tobytes())] = r
+
+    def contract_identified_multi(self, xs) -> np.ndarray:
+        """(K, N, rows) torque contractions for K parameter vectors."""
         import jax.numpy as jnp
 
         opt = self.opt
@@ -660,10 +774,11 @@ class Model:
         samples = data.samples
         Q, V, A, BR, BV, BA = self._gather_state(samples, idx)
         sign, vsig = self._stream_inputs(samples, idx, Q, V, A, BR, BV, BA)
-        _, contract = self._streaming_fns(bool(opt["floatingBase"]))
+        _, contract, _ = self._streaming_fns(bool(opt["floatingBase"]))
         dt = self._compute_dtype()
         chunk = int(opt.get("gramChunk", 4096))
-        out = np.zeros((N, rows))
+        K = len(xs)
+        out = np.zeros((K, N, rows))
 
         def pad(a, c):
             r = (-len(a)) % c
@@ -674,14 +789,14 @@ class Model:
         n_pad = ((N + chunk - 1) // chunk) * chunk
         arrays = [pad(np.asarray(a), chunk) if a is not None else None
                   for a in (Q, V, A, BR, BV, BA, sign, vsig)]
-        xj = jnp.asarray(x_identified, dt)
+        xj = jnp.asarray(np.stack(xs), dt)
         for s0 in range(0, n_pad, chunk):
             sl = slice(s0, s0 + chunk)
             args = [jnp.asarray(a[sl], dt) if a is not None else None for a in arrays]
             res = np.asarray(contract(*args, xj), dtype=float)
             hi = min(s0 + chunk, N)
             if s0 < N:
-                out[s0:hi] = res[: hi - s0]
+                out[:, s0:hi] = res[:, : hi - s0]
         return out
 
     def _contact_jacobians(self, link_index: int, Q: np.ndarray, BR):

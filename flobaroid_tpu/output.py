@@ -277,6 +277,89 @@ class OutputMatplotlib:
             figs.append((title, fig))
         return figs
 
+    def _datasets(self):
+        """(title, times, {label: (N,) series}) tuples — the backend-
+        independent plot data (reference identifier.plot dataset
+        assembly, identifier.py:1170-1422)."""
+        idf = self.idf
+        m = idf.model
+        fb = m.fb
+        out = []
+        for j in range(m.num_dofs):
+            series = {"measured": np.asarray(m.tauMeasured)[:, fb + j]}
+            if idf.tauEstimated is not None:
+                series["estimated"] = np.asarray(idf.tauEstimated)[:, fb + j]
+            if idf.tauAPriori is not None:
+                series["a priori"] = np.asarray(idf.tauAPriori)[:, fb + j]
+            out.append((f"torque {m.jointNames[j]}", np.asarray(m.T), series))
+        if getattr(idf, "tauEstimatedValidation", None) is not None:
+            for j in range(m.num_dofs):
+                out.append((
+                    f"validation {m.jointNames[j]}",
+                    np.asarray(idf.Tv),
+                    {
+                        "measured": np.asarray(idf.tauMeasuredValidation)[:, fb + j],
+                        "predicted": np.asarray(idf.tauEstimatedValidation)[:, fb + j],
+                    },
+                ))
+        return out
+
+    def render_tikz(self, filename: str | None = None, max_points: int = 400) -> str:
+        """pgfplots (TikZ) export of the torque plots (reference
+        output.py:916-960 used matplotlib2tikz; here the TikZ source is
+        emitted directly from the datasets — no converter dependency)."""
+        parts = ["% generated by flobaroid_tpu", "\\begin{tikzpicture}"]
+        for gi, (title, T, series) in enumerate(self._datasets()):
+            step = max(1, len(T) // max_points)
+            parts.append(
+                f"\\begin{{axis}}[title={{{title}}},width=0.9\\linewidth,height=4.5cm,"
+                f"xlabel={{time [s]}},ylabel={{torque [Nm]}},legend pos=outer north east,"
+                f"at={{(0,{-gi * 5.2}cm)}},anchor=north west]"
+            )
+            for label, y in series.items():
+                coords = " ".join(
+                    f"({T[i]:.4g},{y[i]:.6g})" for i in range(0, len(T), step)
+                )
+                parts.append(f"\\addplot+[mark=none] coordinates {{{coords}}};")
+                parts.append(f"\\addlegendentry{{{label}}}")
+            parts.append("\\end{axis}")
+        parts.append("\\end{tikzpicture}")
+        tex = "\n".join(parts)
+        if filename:
+            with open(filename, "w") as f:
+                f.write(tex)
+            print(f"Saved TikZ plot to {filename}")
+        return tex
+
+    def _plotly_html(self) -> str | None:
+        """Interactive plotly report when plotly is importable
+        (reference output.py:775-805); None -> caller falls back to
+        the self-contained matplotlib-SVG report."""
+        try:
+            import plotly.graph_objects as go
+            from plotly.subplots import make_subplots
+        except ImportError:
+            return None
+        ds = self._datasets()
+        ncols = 3
+        nrows = int(np.ceil(len(ds) / ncols))
+        fig = make_subplots(rows=nrows, cols=ncols,
+                            subplot_titles=[t for t, _, _ in ds])
+        for i, (title, T, series) in enumerate(ds):
+            r, c = i // ncols + 1, i % ncols + 1
+            for label, y in series.items():
+                fig.add_trace(
+                    go.Scatter(x=T, y=y, name=label, showlegend=(i == 0)),
+                    row=r, col=c,
+                )
+        fig.update_layout(height=300 * nrows, title="flobaroid_tpu identification report")
+        html = fig.to_html(include_plotlyjs=True)
+        if self.text:
+            html = html.replace(
+                "</body>", f"<pre>{self.text.replace('<', '&lt;')}</pre></body>"
+            )
+        return html
+
     def render(self, filename: str | None = None) -> str:
         import matplotlib.pyplot as plt
 
@@ -303,9 +386,17 @@ class OutputMatplotlib:
         html = "\n".join(parts)
         out = filename or opt.get("outputFilename") or "output.html"
         if opt.get("outputAs", "html") == "html":
+            # interactive plotly report when available, SVG fallback
+            # (reference output.py:775-805 plotly-offline semantics)
+            phtml = self._plotly_html()
+            if phtml is not None:
+                html = phtml
             with open(out, "w") as f:
                 f.write(html)
             print(f"Saved report to {out}")
+        elif opt.get("outputAs") == "tikz":
+            tex_out = out if out.endswith(".tex") else out.rsplit(".", 1)[0] + ".tex"
+            self.render_tikz(tex_out)
         elif opt.get("outputAs") == "pdf":
             # PDF via matplotlib's PdfPages
             from matplotlib.backends.backend_pdf import PdfPages

@@ -36,10 +36,15 @@ def _capsule_points(p0, p1, r, n=10):
 class Visualizer:
     def __init__(self, tree, engine, collision_model=None, world_tree=None,
                  urdf_path=None, mesh_base_dir="meshes", draw_meshes=True,
-                 max_mesh_tris=600):
+                 max_mesh_tris=600, tau_limits=None, collision_margin=0.0):
         self.tree = tree
         self.engine = engine
         self.cm = collision_model
+        # torque-utilization display (reference visualizer torque arcs,
+        # visualizer.py:910+) + extra clearance margin for the
+        # collision-violation highlighting
+        self.tau_limits = None if tau_limits is None else np.asarray(tau_limits, float)
+        self.collision_margin = float(collision_margin)
         # visual meshes (reference renders URDF meshes via trimesh +
         # OpenGL, visualizer.py:910+; here: decimated STL triangle soups
         # per link drawn as Poly3DCollections)
@@ -107,7 +112,8 @@ class Visualizer:
         # capsules
         if self.cm is not None:
             viol_links = set()
-            ok, viols = self.cm.check(np.asarray(q), base_rot, base_pos)
+            ok, viols = self.cm.check(np.asarray(q), base_rot, base_pos,
+                                      margin=self.collision_margin)
             for (a, b), d in viols:
                 viol_links.add(a)
                 viol_links.add(b)
@@ -154,7 +160,7 @@ class Visualizer:
         return filename
 
     def animate(self, Q, filename="trajectory.html", base_rpy=None, base_pos=None,
-                step=10, fps=10):
+                step=10, fps=10, torques=None):
         """Trajectory playback to a self-contained animated HTML
         (base64 PNG frames + JS scrubber)."""
         import base64
@@ -168,17 +174,35 @@ class Visualizer:
         from .dynamics import spatial as sp
         import jax.numpy as jnp
 
+        show_tau = torques is not None and self.tau_limits is not None
         frames = []
         idx = list(range(0, len(Q), step))
         for k in idx:
-            fig = plt.figure(figsize=(5, 5))
-            ax = fig.add_subplot(projection="3d")
+            if show_tau:
+                fig = plt.figure(figsize=(7, 5))
+                ax = fig.add_subplot(1, 2, 1, projection="3d")
+                axb = fig.add_subplot(1, 2, 2)
+            else:
+                fig = plt.figure(figsize=(5, 5))
+                ax = fig.add_subplot(projection="3d")
             self._setup_axes(ax)
             br = None
             if base_rpy is not None:
                 br = np.asarray(sp.rpy_to_rot(jnp.asarray(base_rpy[k]))).T
             bp = None if base_pos is None else base_pos[k]
             self.draw_pose(ax, Q[k], br, bp)
+            if show_tau:
+                tau_k = np.asarray(torques[k], float)[-len(self.tau_limits):]
+                util = np.abs(tau_k) / np.maximum(self.tau_limits, 1e-9)
+                colors = ["tab:red" if u > 1.0 else "tab:blue" for u in util]
+                axb.barh(np.arange(len(util)), util, color=colors)
+                axb.axvline(1.0, color="red", lw=1, ls="--")
+                axb.set_xlim(0, 1.2)
+                axb.set_yticks(np.arange(len(util)))
+                axb.set_yticklabels(
+                    self.tree.dof_names if len(self.tree.dof_names) == len(util) else
+                    [str(i) for i in range(len(util))], fontsize=6)
+                axb.set_xlabel("torque utilization")
             ax.set_title(f"sample {k}")
             buf = io.BytesIO()
             fig.savefig(buf, format="png", dpi=80)

@@ -26,6 +26,8 @@ class PipelineGUI:
         ("config", "Config YAML"),
         ("model", "Robot URDF"),
         ("world", "World URDF (optional)"),
+        ("model_real", "Ground-truth URDF (optional)"),
+        ("validation", "Validation npz (optional)"),
         ("trajectory", "Trajectory npz"),
         ("measurements", "Measurements npz"),
         ("model_output", "Identified URDF out"),
@@ -117,9 +119,6 @@ class PipelineGUI:
             pass
         self.root.after(100, self._drain)
 
-    def _common(self):
-        return [sys.executable, "--config-placeholder"]
-
     def _args(self, script, *extra):
         argv = [sys.executable, script, "--config", self.vars["config"].get(),
                 "--model", self.vars["model"].get()]
@@ -127,7 +126,12 @@ class PipelineGUI:
 
     # ------------------------------------------------------------------
     def run_trajectory(self, then=None):
-        self._run(self._args("trajectory.py", "--filename", self.vars["trajectory"].get()), then)
+        extra = ["--filename", self.vars["trajectory"].get()]
+        if self.vars["world"].get():
+            extra += ["--world", self.vars["world"].get()]
+        if self.vars["model_real"].get():
+            extra += ["--model_real", self.vars["model_real"].get()]
+        self._run(self._args("trajectory.py", *extra), then)
 
     def run_simulate(self, then=None):
         self._run(
@@ -141,6 +145,10 @@ class PipelineGUI:
                  "--trajectory", self.vars["trajectory"].get()]
         if self.vars["model_output"].get():
             extra += ["--model_output", self.vars["model_output"].get()]
+        if self.vars["model_real"].get():
+            extra += ["--model_real", self.vars["model_real"].get()]
+        if self.vars["validation"].get():
+            extra += ["--validation", self.vars["validation"].get()]
         self._run(self._args("identifier.py", *extra), then)
 
     def run_all(self):

@@ -26,6 +26,8 @@ def main():
     p.add_argument("--step", type=int, default=10, help="animation frame step")
     p.add_argument("--no_meshes", action="store_true",
                    help="skip visual STL meshes (wireframe capsules only)")
+    p.add_argument("--margin", type=float, default=0.0,
+                   help="extra clearance margin for collision highlighting")
     args = p.parse_args()
     config = load_cli_config(args)
 
@@ -38,11 +40,14 @@ def main():
     eng = DynamicsEngine(tree)
     world = load_urdf(args.world) if args.world else None
     cm = CollisionModel(tree, eng, config, world_tree=world)
+    lims = tree.joint_limits()
+    tau_limits = np.array([lims[j]["torque"] for j in tree.dof_names])
     viz = Visualizer(
         tree, eng, collision_model=cm,
         urdf_path=config["urdf"],
         mesh_base_dir=str(config.get("meshBaseDir", "meshes")),
         draw_meshes=not args.no_meshes,
+        tau_limits=tau_limits, collision_margin=args.margin,
     )
 
     if args.trajectory:
@@ -50,8 +55,10 @@ def main():
             Q = f["positions"]
             base_rpy = f["base_rpy"] if "base_rpy" in f.files else None
             base_pos = f["base_position"] if "base_position" in f.files else None
+            torques = f["torques"] if "torques" in f.files else None
         out = args.out or "trajectory.html"
-        viz.animate(Q, out, base_rpy=base_rpy, base_pos=base_pos, step=args.step)
+        viz.animate(Q, out, base_rpy=base_rpy, base_pos=base_pos, step=args.step,
+                    torques=torques)
         print(f"wrote {out} ({len(Q)} samples)")
     else:
         q = (
