@@ -365,6 +365,7 @@ class Model:
         opt = self.opt
         self.data = data
         self._contract_cache = {}  # contractions are per-dataset
+        self._staged = None  # staged device inputs are per-dataset
         nd, fb = self.num_dofs, self.fb
         rows = nd + fb
         skip = int(opt["skipSamples"])
@@ -379,19 +380,32 @@ class Model:
         # the stacked Y block is not needed in streaming mode (Grams are
         # accumulated on device) nor for only_simulate — skip the large
         # device->host fetch in those cases
-        skip_y = (not int(opt.get("materializeRegressor", 1))) or only_simulate
-        Yin, sim = self._batched_rows(
-            Q, V, A, BR, BV, BA,
-            pi=pi_urdf if need_sim else None,
-            sim_only=skip_y,
-        )
-        if Yin is not None:
-            Yin = np.array(Yin, dtype=float)  # (N, rows, 10L)
+        streaming = not int(opt.get("materializeRegressor", 1)) and not only_simulate
+        skip_y = streaming or only_simulate
+        Yin = sim = None
+        if streaming:
+            # streaming: simulate through the staged chunk scan (the same
+            # staged inputs feed the Gram scan and reporting contractions
+            # — ONE host->device staging per dataset). Y_id @ x_id equals
+            # Yin @ pi + friction: identified columns only drop inertia
+            # columns in gravity-only mode, where V = A = 0 zeroes them.
+            staged = self._stage_streaming(samples, idx, N, rows, Q, V, A, BR, BV, BA)
+            if need_sim:
+                x_id = self.xStdModel[self.identified_params]
+                sim = np.nan_to_num(self._scan_contract(staged, [x_id])[0])
+        else:
+            Yin, sim = self._batched_rows(
+                Q, V, A, BR, BV, BA,
+                pi=pi_urdf if need_sim else None,
+                sim_only=skip_y,
+            )
+            if Yin is not None:
+                Yin = np.array(Yin, dtype=float)  # (N, rows, 10L)
 
-        if sim is not None:
-            sim = np.array(sim, dtype=float)
-            sim[:, fb:] += self.friction_torques(samples, idx, self.xStdModel)
-            sim = np.nan_to_num(sim)
+            if sim is not None:
+                sim = np.array(sim, dtype=float)
+                sim[:, fb:] += self.friction_torques(samples, idx, self.xStdModel)
+                sim = np.nan_to_num(sim)
 
         # measured torques
         torq = np.array(np.asarray(samples["torques"])[idx])
@@ -553,23 +567,30 @@ class Model:
                 return jnp.einsum("nrp,kp->knr", Y, x,
                                   precision=jax.lax.Precision.HIGHEST)
 
-            def gram_scan(stacks, taus, cfs, masks):
+            def unpack(st):
+                if floating:
+                    return st
+                Q, V, A, sign, vsig = st
+                return Q, V, A, None, None, None, sign, vsig
+
+            def gram_scan(stacks, taus, cfs, n_valid):
                 """All chunks in ONE dispatch: lax.scan over the chunk
                 axis accumulating the per-channel Grams on device — the
                 per-chunk host loop fetched 3 aggregate arrays per chunk
                 (~26 MB each at 30 DOF) through the runtime relay.
                 stacks: (Q,V,A[,BR,BV,BA],sign,vsig), each (n_chunks,
-                chunk, ...)."""
+                chunk, ...). The padding mask is derived on device from
+                the sample count `n_valid` (no (N, rows) host transfer)."""
 
-                def unpack(st):
-                    if floating:
-                        return st
-                    Q, V, A, sign, vsig = st
-                    return Q, V, A, None, None, None, sign, vsig
+                n_chunks, chunk = taus.shape[0], taus.shape[1]
 
                 def step(carry, xs):
                     G, g, gcf = carry
-                    st, tau, cf, mask = xs
+                    st, tau, cf, k = xs
+                    valid = (k * chunk + jnp.arange(chunk)) < n_valid
+                    mask = jnp.broadcast_to(
+                        valid.astype(tau.dtype)[:, None], tau.shape
+                    )
                     Gc, gc, gcfc = gram_chunk(*unpack(st), tau, cf, mask)
                     return (G + Gc, g + gc, gcf + gcfc), None
 
@@ -582,11 +603,31 @@ class Model:
                     jnp.zeros((rows, P), dt0),
                     jnp.zeros((rows, P), dt0),
                 )
-                (G, g, gcf), _ = jax.lax.scan(step, init, (stacks, taus, cfs, masks))
+                (G, g, gcf), _ = jax.lax.scan(
+                    step, init, (stacks, taus, cfs, jnp.arange(n_chunks))
+                )
                 return G, g, gcf
 
-            self._regr_jit_cache[key] = (
-                jax.jit(gram_chunk), jax.jit(contract_chunk), jax.jit(gram_scan)
+            def contract_scan(stacks, xs):
+                """tau_hat chunks for K parameter vectors in ONE dispatch:
+                (n_chunks, K, chunk, rows). Padded samples yield garbage
+                rows that the host slices off."""
+
+                def step(carry, st):
+                    Y = build_Y(*unpack(st))
+                    return carry, jnp.einsum(
+                        "nrp,kp->knr", Y, xs,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+
+                _, outs = jax.lax.scan(step, 0, stacks)
+                return outs
+
+            self._regr_jit_cache[key] = dict(
+                gram_chunk=jax.jit(gram_chunk),
+                contract=jax.jit(contract_chunk),
+                gram_scan=jax.jit(gram_scan),
+                contract_scan=jax.jit(contract_scan),
             )
         return self._regr_jit_cache[key]
 
@@ -598,21 +639,21 @@ class Model:
         vsig = H.get_friction_sign_velocities(samples, self.opt)[idx, :nd]
         return sign, vsig
 
-    def _compute_streaming(self, samples, idx, N, rows, Q, V, A, BR, BV, BA):
+    def _stage_streaming(self, samples, idx, N, rows, Q, V, A, BR, BV, BA):
+        """Stage the per-sample state ONCE per dataset as (n_chunks,
+        chunk, ...) device stacks. The sim pass, the Gram scan and every
+        reporting contraction reuse the same staged inputs — repeated
+        host->device staging through the runtime relay dominated the warm
+        streamed identify (three full passes over ~11 MB of state).
+        Invalidated at the top of computeRegressors."""
+        st = getattr(self, "_staged", None)
+        if st is not None and st["N"] == N:
+            return st
         import jax.numpy as jnp
 
         opt = self.opt
-        if opt["useEssentialParams"] or opt["estimateWith"] == "std_direct" or opt["filterRegressor"]:
-            raise ValueError(
-                "materializeRegressor=0 supports the OLS/WLS/SDP paths; "
-                "essential/std_direct/filterRegressor need the stacked regressor"
-            )
         dt = self._compute_dtype()
-        floating = bool(opt["floatingBase"])
-        gram_chunk, _, gram_scan = self._streaming_fns(floating)
         sign, vsig = self._stream_inputs(samples, idx, Q, V, A, BR, BV, BA)
-        tau2d = self.tau.reshape(N, rows)
-        cf2d = self.contactForcesSum.reshape(N, rows)
 
         chunk = int(opt.get("gramChunk", 4096))
         # multi-chip SPMD (SURVEY §2.9): shard the sample axis of each
@@ -643,13 +684,8 @@ class Model:
                     axes[sample_axis] = "samples"
                     return NamedSharding(mesh, PS(*axes))
 
-        P = self.num_identified_params
-        G = np.zeros((rows, P, P))
-        g = np.zeros((rows, P))
-        gcf = np.zeros((rows, P))
-
-        def pad(a, c):
-            r = (-len(a)) % c
+        def pad(a):
+            r = (-len(a)) % chunk
             if r == 0:
                 return a
             return np.concatenate([a, np.zeros((r,) + a.shape[1:], a.dtype)], axis=0)
@@ -664,37 +700,100 @@ class Model:
 
         n_pad = ((N + chunk - 1) // chunk) * chunk
         n_chunks = n_pad // chunk
-        maskN = pad(np.ones((N, rows)), chunk)
-        arrays = [pad(np.asarray(a), chunk) if a is not None else None
-                  for a in (Q, V, A, BR, BV, BA, sign, vsig, tau2d, cf2d)]
-        if n_chunks <= 64:
-            # one dispatch for ALL chunks: stack (n_chunks, chunk, ...)
-            # and lax.scan-accumulate on device (fetch the aggregates
-            # once). Measured 6.3 s -> sub-second at 13770x30-DOF
-            # through the runtime relay. Chunk-axis sharding still
-            # applies inside each scan step.
-            def stackc(a):
-                return to_dev(
-                    a.reshape((n_chunks, chunk) + a.shape[1:]), sample_axis=1
-                )
+        host = [pad(np.asarray(a)) if a is not None else None
+                for a in (Q, V, A, BR, BV, BA, sign, vsig)]
 
-            st = [stackc(a) for a in arrays[:8] if a is not None]
-            Gj, gj, gcfj = gram_scan(
-                tuple(st), stackc(arrays[8]), stackc(arrays[9]), stackc(maskN)
+        def stackc(a):
+            return to_dev(a.reshape((n_chunks, chunk) + a.shape[1:]),
+                          sample_axis=1)
+
+        stacks = None
+        if n_chunks <= 64:
+            stacks = tuple(stackc(a) for a in host if a is not None)
+        st = dict(N=N, rows=rows, chunk=chunk, n_pad=n_pad,
+                  n_chunks=n_chunks, host=host, stacks=stacks,
+                  stackc=stackc, to_dev=to_dev, pad=pad,
+                  sign=sign, vsig=vsig)
+        self._staged = st
+        return st
+
+    def _scan_contract(self, staged, xs) -> np.ndarray:
+        """(K, N, rows) torque contractions tau_hat = Y @ x_k over the
+        staged chunks — one dispatch on the scan path."""
+        import jax.numpy as jnp
+
+        opt = self.opt
+        fns = self._streaming_fns(bool(opt["floatingBase"]))
+        dt = self._compute_dtype()
+        N, rows = staged["N"], staged["rows"]
+        K = len(xs)
+        xj = jnp.asarray(np.stack(xs), dt)
+        if staged["stacks"] is not None:
+            outs = np.asarray(fns["contract_scan"](staged["stacks"], xj),
+                              dtype=float)  # (n_chunks, K, chunk, rows)
+            return outs.transpose(1, 0, 2, 3).reshape(
+                K, staged["n_pad"], rows)[:, :N]
+        # long-recording fallback: per-chunk dispatches
+        out = np.zeros((K, N, rows))
+        chunk = staged["chunk"]
+        for s0 in range(0, staged["n_pad"], chunk):
+            sl = slice(s0, s0 + chunk)
+            args = [jnp.asarray(a[sl], dt) if a is not None else None
+                    for a in staged["host"]]
+            res = np.asarray(fns["contract"](*args, xj), dtype=float)
+            hi = min(s0 + chunk, N)
+            if s0 < N:
+                out[:, s0:hi] = res[:, : hi - s0]
+        return out
+
+    def _compute_streaming(self, samples, idx, N, rows, Q, V, A, BR, BV, BA):
+        import jax.numpy as jnp
+
+        opt = self.opt
+        if opt["useEssentialParams"] or opt["estimateWith"] == "std_direct" or opt["filterRegressor"]:
+            raise ValueError(
+                "materializeRegressor=0 supports the OLS/WLS/SDP paths; "
+                "essential/std_direct/filterRegressor need the stacked regressor"
             )
-            G += np.asarray(Gj, dtype=float)
-            g += np.asarray(gj, dtype=float)
-            gcf += np.asarray(gcfj, dtype=float)
+        dt = self._compute_dtype()
+        floating = bool(opt["floatingBase"])
+        fns = self._streaming_fns(floating)
+        staged = self._stage_streaming(samples, idx, N, rows, Q, V, A, BR, BV, BA)
+        tau2d = self.tau.reshape(N, rows)
+        cf2d = self.contactForcesSum.reshape(N, rows)
+        chunk, n_pad, n_chunks = staged["chunk"], staged["n_pad"], staged["n_chunks"]
+        pad, to_dev, stackc = staged["pad"], staged["to_dev"], staged["stackc"]
+
+        P = self.num_identified_params
+        if staged["stacks"] is not None:
+            # one dispatch for ALL chunks: lax.scan-accumulate on device.
+            # Measured 6.3 s -> sub-second at 13770x30-DOF through the
+            # runtime relay. The per-channel Grams stay DEVICE-RESIDENT:
+            # only the small (P,P)/(P,) aggregates cross the relay (in
+            # _set_streaming_aggregates), not the (rows,P,P) tensor
+            # (~20 MB at 30 DOF — measured 0.8 s of the 1.8 s warm
+            # computeRegressors was that fetch).
+            G, g, gcf = fns["gram_scan"](
+                staged["stacks"],
+                stackc(pad(tau2d)),
+                stackc(pad(cf2d)),
+                jnp.asarray(N, dt),
+            )
         else:
             # very long recordings: accumulate on host in f64 (an f32
             # carry over hundreds of chunks would lose Gram precision)
+            G = np.zeros((rows, P, P))
+            g = np.zeros((rows, P))
+            gcf = np.zeros((rows, P))
+            maskN = pad(np.ones((N, rows)))
+            arrays = staged["host"] + [pad(tau2d), pad(cf2d)]
             for s0 in range(0, n_pad, chunk):
                 sl = slice(s0, s0 + chunk)
                 args = [
                     to_dev(a[sl]) if a is not None else None for a in arrays
                 ]
-                Gc, gc, gcfc = gram_chunk(*args[:8], args[8], args[9],
-                                          to_dev(maskN[sl]))
+                Gc, gc, gcfc = fns["gram_chunk"](*args[:8], args[8], args[9],
+                                                 to_dev(maskN[sl]))
                 G += np.asarray(Gc, dtype=float)
                 g += np.asarray(gc, dtype=float)
                 gcf += np.asarray(gcfc, dtype=float)
@@ -720,9 +819,31 @@ class Model:
         w_r²). Refreshes both std- and base-space quantities."""
         opt = self.opt
         w2 = np.asarray(w2, dtype=float)
-        self.G_std = np.einsum("r,rpq->pq", w2, self.G_rows)
-        self.g_tau = w2 @ self.g_rows
-        self.g_cf = w2 @ self.gcf_rows
+        if not isinstance(self.G_rows, np.ndarray):
+            # device-resident per-channel Grams (streaming fast path):
+            # contract on device, fetch only the (P,P)/(P,) aggregates
+            import jax
+            import jax.numpy as jnp
+
+            if not hasattr(Model, "_agg_jit"):
+                Model._agg_jit = jax.jit(
+                    lambda w, G, g, gc: (
+                        jnp.einsum("r,rpq->pq", w, G),
+                        w @ g,
+                        w @ gc,
+                    )
+                )
+            Gs, gt, gc = Model._agg_jit(
+                jnp.asarray(w2, self.G_rows.dtype),
+                self.G_rows, self.g_rows, self.gcf_rows,
+            )
+            self.G_std = np.asarray(Gs, dtype=float)
+            self.g_tau = np.asarray(gt, dtype=float)
+            self.g_cf = np.asarray(gc, dtype=float)
+        else:
+            self.G_std = np.einsum("r,rpq->pq", w2, self.G_rows)
+            self.g_tau = w2 @ self.g_rows
+            self.g_cf = w2 @ self.gcf_rows
         self.tau_sq = float(w2 @ self.tau_sq_rows)
         self.tau_cf = float(w2 @ self.tau_cf_rows)
         self.cf_sq = float(w2 @ self.cf_sq_rows)
@@ -762,42 +883,22 @@ class Model:
             cache[hash(x.tobytes())] = r
 
     def contract_identified_multi(self, xs) -> np.ndarray:
-        """(K, N, rows) torque contractions for K parameter vectors."""
-        import jax.numpy as jnp
-
+        """(K, N, rows) torque contractions for K parameter vectors —
+        one scan dispatch over the staged per-dataset device inputs."""
         opt = self.opt
         data = self.data
         N = data.num_used_samples
         rows = self.num_dofs + self.fb
-        skip = int(opt["skipSamples"])
-        idx = np.arange(N) * (skip + 1)
-        samples = data.samples
-        Q, V, A, BR, BV, BA = self._gather_state(samples, idx)
-        sign, vsig = self._stream_inputs(samples, idx, Q, V, A, BR, BV, BA)
-        _, contract, _ = self._streaming_fns(bool(opt["floatingBase"]))
-        dt = self._compute_dtype()
-        chunk = int(opt.get("gramChunk", 4096))
-        K = len(xs)
-        out = np.zeros((K, N, rows))
-
-        def pad(a, c):
-            r = (-len(a)) % c
-            if r == 0:
-                return a
-            return np.concatenate([a, np.zeros((r,) + a.shape[1:], a.dtype)], axis=0)
-
-        n_pad = ((N + chunk - 1) // chunk) * chunk
-        arrays = [pad(np.asarray(a), chunk) if a is not None else None
-                  for a in (Q, V, A, BR, BV, BA, sign, vsig)]
-        xj = jnp.asarray(np.stack(xs), dt)
-        for s0 in range(0, n_pad, chunk):
-            sl = slice(s0, s0 + chunk)
-            args = [jnp.asarray(a[sl], dt) if a is not None else None for a in arrays]
-            res = np.asarray(contract(*args, xj), dtype=float)
-            hi = min(s0 + chunk, N)
-            if s0 < N:
-                out[:, s0:hi] = res[:, : hi - s0]
-        return out
+        staged = getattr(self, "_staged", None)
+        if staged is None or staged["N"] != N:
+            skip = int(opt["skipSamples"])
+            idx = np.arange(N) * (skip + 1)
+            samples = data.samples
+            Q, V, A, BR, BV, BA = self._gather_state(samples, idx)
+            staged = self._stage_streaming(
+                samples, idx, N, rows, Q, V, A, BR, BV, BA
+            )
+        return self._scan_contract(staged, xs)
 
     def _contact_jacobians(self, link_index: int, Q: np.ndarray, BR):
         eng = self.engine
