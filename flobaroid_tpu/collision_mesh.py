@@ -31,7 +31,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .models.geometry import load_stl_vertices, resolve_mesh_path
+from .models.geometry import (
+    load_stl_triangles,
+    load_stl_vertices,
+    resolve_mesh_path,
+)
 from .models.urdf import RobotTree
 
 
@@ -157,6 +161,93 @@ def link_vertices(
     return allp
 
 
+def link_triangles(
+    tree: RobotTree,
+    link_name: str,
+    mesh_base_dir: str = "meshes",
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """(vertices, triangles) of a link's exact geometry in the link
+    frame, for the native BVH narrowphase. Mesh geometries contribute
+    their raw (non-convex) triangle soup; primitives are convex, so
+    their hull triangulation is exact."""
+    li = tree.link_index[link_name]
+    link = tree.links[li]
+    elems = link.collisions if link.collisions else link.visuals
+    all_v, all_t = [], []
+    off = 0
+    for el in elems:
+        g = el.geometry
+        if g is None:
+            continue
+        R = _rpy_to_matrix(el.origin_rpy)
+        p0 = np.asarray(el.origin_xyz, dtype=float)
+        v = t = None
+        if g.kind == "mesh":
+            path = resolve_mesh_path(g.filename, tree.source_path, mesh_base_dir)
+            if path is None:
+                continue
+            try:
+                v, t = load_stl_triangles(path)
+            except (ValueError, OSError):
+                continue
+            if g.scale is not None:
+                v = v * np.asarray(g.scale)
+        else:
+            # primitive: exact convex triangulation of its point set
+            v = _element_points(g)
+            if v is None:
+                continue
+            try:
+                from scipy.spatial import ConvexHull
+
+                h = ConvexHull(v)
+                v, t = v, np.asarray(h.simplices, dtype=np.int32)
+            except Exception:
+                continue
+        all_v.append(v @ R.T + p0)
+        all_t.append(np.asarray(t, dtype=np.int32) + off)
+        off += len(v)
+    if not all_v:
+        return None
+    return np.concatenate(all_v, axis=0), np.concatenate(all_t, axis=0)
+
+
+def _element_points(g) -> np.ndarray | None:
+    """Point set of one primitive geometry element (element frame)."""
+    if g.kind == "box":
+        h = np.asarray(g.size) / 2.0
+        return np.array(
+            [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)]
+        ) * h
+    if g.kind in ("cylinder", "capsule"):
+        r = float(g.radius or 0.0)
+        h = float(g.length or 0.0) / 2.0
+        ang = np.linspace(0, 2 * np.pi, 16, endpoint=False)
+        ring = np.stack([r * np.cos(ang), r * np.sin(ang)], axis=1)
+        pts = [np.concatenate([ring, np.full((len(ring), 1), z)], axis=1)
+               for z in (-h, h)]
+        if g.kind == "capsule":
+            pts.append(np.array([[0.0, 0.0, -(h + r)], [0.0, 0.0, h + r]]))
+        return np.concatenate(pts, axis=0)
+    if g.kind == "sphere":
+        return _sphere_dirs() * float(g.radius or 0.0)
+    return None
+
+
+def box_triangles(center, half, R) -> tuple[np.ndarray, np.ndarray]:
+    """12-triangle world box (for world-pair narrowphase)."""
+    corners = np.array(
+        [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)]
+    ) * np.asarray(half)
+    v = corners @ np.asarray(R).T + np.asarray(center)
+    quads = [(0, 1, 3, 2), (4, 6, 7, 5), (0, 4, 5, 1),
+             (2, 3, 7, 6), (0, 2, 6, 4), (1, 5, 7, 3)]
+    t = []
+    for a, b, c, d in quads:
+        t += [(a, b, c), (a, c, d)]
+    return v, np.asarray(t, dtype=np.int32)
+
+
 # ----------------------------------------------------------------------
 # batched convex distance
 # ----------------------------------------------------------------------
@@ -275,6 +366,48 @@ class MeshCollisionVerifier:
 
         self._build()
 
+        # triangle-exact native narrowphase for non-convex ("full") links:
+        # the hull tier over-approximates them, so a near-contact hull
+        # verdict is refined against the raw triangle BVH (the role FCL's
+        # full-mesh mode plays in the reference, optimizer.py:571-634)
+        self._native: dict[int, tuple] = {}
+        self._full_links = {
+            n for n in tree.link_names if n in full_links or mode == "full"
+        }
+        if self._full_links:
+            from . import native_meshdist as _nm
+
+            if _nm.available():
+                tri_cache: dict[str, object] = {}
+
+                def nat(name):
+                    if name not in tri_cache:
+                        vt = link_triangles(tree, name, mesh_base_dir=mesh_dir)
+                        tri_cache[name] = (
+                            _nm.NativeMesh(*vt) if vt is not None else None
+                        )
+                    return tri_cache[name]
+
+                for i, (a, b) in enumerate(self.self_pairs):
+                    if a in self._full_links or b in self._full_links:
+                        ma, mb = nat(a), nat(b)
+                        if ma is not None and mb is not None:
+                            self._native[i] = (ma, mb)
+                for j, (rl, wl) in enumerate(self.world_pairs):
+                    if rl in self._full_links:
+                        mr = nat(rl)
+                        if mr is not None:
+                            cen, half, R = capsule_model.world_boxes[wl]
+                            vw, tw = box_triangles(cen, half, R)
+                            self._native[len(self.self_pairs) + j] = (
+                                mr, _nm.NativeMesh(vw, tw)
+                            )
+            else:
+                print(
+                    "collision: native meshdist unavailable — full-mesh "
+                    "links fall back to the (conservative) convex tier"
+                )
+
     @property
     def num_pairs(self):
         return len(self.pair_names)
@@ -316,13 +449,16 @@ class MeshCollisionVerifier:
             jax.vmap(lambda q: clearances(q, None, None))
         )
 
-    def min_clearances(self, Q, base_rot=None, base_pos=None, step=1, chunk=256):
-        """(n_pairs,) minimum exact clearance over the trajectory."""
+    def min_clearances(self, Q, base_rot=None, base_pos=None, step=1,
+                       chunk=256, per_sample=False):
+        """(n_pairs,) minimum exact clearance over the trajectory, or the
+        full (n_samples, n_pairs) clearance matrix with per_sample."""
         if self.num_pairs == 0:
-            return np.zeros(0)
+            return np.zeros((0, 0)) if per_sample else np.zeros(0)
         Q = np.asarray(Q)[::step]
         BR = None if base_rot is None else np.asarray(base_rot)[::step]
         BP = None if base_pos is None else np.asarray(base_pos)[::step]
+        out = []
         mins = np.full(self.num_pairs, np.inf)
         for s in range(0, len(Q), chunk):
             qs = jnp.asarray(Q[s:s + chunk])
@@ -333,8 +469,52 @@ class MeshCollisionVerifier:
                 )
             else:
                 D = self._clear_batch_fixed(qs)
-            mins = np.minimum(mins, np.asarray(D).min(axis=0))
+            D = np.asarray(D)
+            if per_sample:
+                out.append(D)
+            mins = np.minimum(mins, D.min(axis=0))
+        if per_sample:
+            return np.concatenate(out, axis=0)
         return mins
+
+    def _native_clearance(self, i, samples, Q, BR, BP) -> float:
+        """Triangle-exact minimum clearance of pair i over `samples`
+        (indices into the subsampled trajectory) via the native BVH."""
+        from . import native_meshdist as _nm
+
+        ma, mb = self._native[i]
+        tree = self.tree
+        if i < len(self.self_pairs):
+            a, b = self.self_pairs[i]
+            la, lb = tree.link_index[a], tree.link_index[b]
+        else:
+            rl, _ = self.world_pairs[i - len(self.self_pairs)]
+            la, lb = tree.link_index[rl], None
+        if not hasattr(self, "_fk_batch"):
+            eng = self.engine
+            self._fk_batch = jax.jit(jax.vmap(eng.fk))
+        Rl, pl = self._fk_batch(jnp.asarray(Q[samples]))
+        Rl = np.asarray(Rl, dtype=float)
+        pl = np.asarray(pl, dtype=float)
+        if BR is not None:
+            Rw = np.einsum("nij,nljk->nlik", BR[samples], Rl)
+            pw = np.einsum("nij,nlj->nli", BR[samples], pl)
+            if BP is not None:
+                pw = pw + BP[samples][:, None, :]
+        else:
+            Rw, pw = Rl, pl
+        best = np.inf
+        margin = float(self.margins[i])
+        for s in range(len(samples)):
+            Ta = _nm.mesh_from_transform(Rw[s, la], pw[s, la])
+            Tb = (
+                np.eye(4) if lb is None
+                else _nm.mesh_from_transform(Rw[s, lb], pw[s, lb])
+            )
+            best = min(best, _nm.distance(ma, Ta, mb, Tb) - margin)
+            if best <= 0:
+                break
+        return best
 
     def verify(self, Q, base_rot=None, base_pos=None, step=1, tol=1e-3):
         """(ok, violations): violations = [(pair, clearance), ...].
@@ -343,11 +523,30 @@ class MeshCollisionVerifier:
         is flagged at clearance < +tol (the reference separately
         confirms 0-distance BVH results with a collide() call,
         collision.py:19-267 — here the positive threshold plays that
-        role)."""
-        mins = self.min_clearances(Q, base_rot=base_rot, base_pos=base_pos, step=step)
-        bad = [
-            (self.pair_names[i], float(mins[i]))
-            for i in range(self.num_pairs)
-            if mins[i] < tol
-        ]
+        role). Pairs involving "full"-mode links re-check their
+        near-contact samples against the raw-triangle BVH: the hull
+        distance lower-bounds the mesh distance, so samples the hull
+        already clears need no refinement (the reference's broad/narrow
+        split, with hulls as the broadphase)."""
+        want_refine = bool(self._native)
+        D = self.min_clearances(
+            Q, base_rot=base_rot, base_pos=base_pos, step=step,
+            per_sample=want_refine,
+        )
+        mins = D.min(axis=0) if want_refine else D
+        Qs = np.asarray(Q)[::step]
+        BRs = None if base_rot is None else np.asarray(base_rot)[::step]
+        BPs = None if base_pos is None else np.asarray(base_pos)[::step]
+        bad = []
+        for i in range(self.num_pairs):
+            if mins[i] >= tol:
+                continue
+            if want_refine and i in self._native:
+                samples = np.where(D[:, i] < tol)[0]
+                refined = self._native_clearance(i, samples, Qs, BRs, BPs)
+                if refined >= tol:
+                    continue
+                bad.append((self.pair_names[i], float(refined)))
+            else:
+                bad.append((self.pair_names[i], float(mins[i])))
         return (len(bad) == 0), bad

@@ -43,6 +43,20 @@ def load_stl_vertices(path: str) -> np.ndarray:
     return np.asarray(verts)
 
 
+def load_stl_triangles(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """Read an STL file and return (vertices (V,3), triangles (T,3)).
+
+    STL is a triangle soup, so vertices arrive in facet triplets; the
+    index array is simply [[0,1,2],[3,4,5],...]. Consumers that need a
+    welded mesh can np.unique the vertices — the distance queries
+    (native_meshdist) work on the soup directly."""
+    v = load_stl_vertices(path)
+    n = (len(v) // 3) * 3
+    v = v[:n]
+    tris = np.arange(n, dtype=np.int32).reshape(-1, 3)
+    return v, tris
+
+
 def resolve_mesh_path(filename: str, urdf_path: str | None, mesh_base_dir: str = "meshes") -> str | None:
     """Resolve package:// and relative mesh URIs next to the URDF
     (reference: helpers.URDFHelpers loading package paths)."""

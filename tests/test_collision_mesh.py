@@ -121,3 +121,148 @@ def test_link_vertices_modes(plates):
     vc = link_vertices(tree, "base_plate", mode="convex")
     assert vc.shape[0] >= 8
     assert link_vertices(tree, "mid") is None
+
+
+# ----------------------------------------------------------------------
+# native triangle-exact narrowphase (collisionMode: full)
+# ----------------------------------------------------------------------
+def _write_stl(path, tris):
+    """Binary STL from a (T, 3, 3) triangle array."""
+    import struct
+
+    tris = np.asarray(tris, dtype=float)
+    with open(path, "wb") as f:
+        f.write(b"\0" * 80)
+        f.write(struct.pack("<I", len(tris)))
+        for t in tris:
+            n = np.cross(t[1] - t[0], t[2] - t[0])
+            nn = np.linalg.norm(n)
+            n = n / nn if nn > 0 else n
+            f.write(struct.pack(
+                "<12fH", *n, *t[0], *t[1], *t[2], 0
+            ))
+
+
+def _box_soup(center, half):
+    from flobaroid_tpu.collision_mesh import box_triangles
+
+    v, t = box_triangles(center, half, np.eye(3))
+    return v[t]
+
+
+def test_native_meshdist_distances():
+    nm = pytest.importorskip("flobaroid_tpu.native_meshdist")
+    if not nm.available():
+        pytest.skip("native toolchain unavailable")
+    from flobaroid_tpu.collision_mesh import box_triangles
+
+    va, ta = box_triangles((0, 0, 0), (0.5, 0.5, 0.5), np.eye(3))
+    A = nm.NativeMesh(va, ta)
+    B = nm.NativeMesh(va, ta)
+    I4 = np.eye(4)
+
+    def T(p):
+        M = np.eye(4)
+        M[:3, 3] = p
+        return M
+
+    assert abs(nm.distance(A, I4, B, T([2, 0, 0])) - 1.0) < 1e-9
+    assert nm.distance(A, I4, B, T([0.5, 0, 0])) == 0.0  # penetration
+    # rotated 45 deg about z: corner-to-face gap
+    c, s = np.cos(np.pi / 4), np.sin(np.pi / 4)
+    R = np.eye(4)
+    R[:3, :3] = [[c, -s, 0], [s, c, 0], [0, 0, 1]]
+    R[0, 3] = 2.0
+    d = nm.distance(A, I4, B, R)
+    assert abs(d - (1.5 - np.sqrt(2) * 0.5)) < 1e-9
+    # BVH agrees with brute force on random soups
+    rng = np.random.default_rng(0)
+    for _ in range(3):
+        v1 = rng.normal(size=(60, 3))
+        t1 = np.arange(60, dtype=np.int32).reshape(-1, 3)
+        v2 = rng.normal(size=(60, 3)) + [3.5, 0, 0]
+        M1, M2 = nm.NativeMesh(v1, t1), nm.NativeMesh(v2, t2 := t1.copy())
+        assert abs(
+            nm.distance(M1, I4, M2, I4) - nm.distance(M1, I4, M2, I4, brute=True)
+        ) < 1e-9
+
+
+CHANNEL_URDF = """<robot name="channel">
+  <link name="channel">
+    <inertial><mass value="2"/><inertia ixx="0.1" iyy="0.1" izz="0.1" ixy="0" ixz="0" iyz="0"/></inertial>
+    <visual><geometry><mesh filename="uchannel.stl"/></geometry></visual>
+  </link>
+  <link name="mid"><inertial><mass value="0.1"/><inertia ixx="0.01" iyy="0.01" izz="0.01" ixy="0" ixz="0" iyz="0"/></inertial></link>
+  <link name="bar">
+    <inertial><mass value="0.5"/><inertia ixx="0.01" iyy="0.01" izz="0.01" ixy="0" ixz="0" iyz="0"/></inertial>
+    <visual><origin xyz="0.28 0 0"/><geometry><box size="0.1 0.1 0.1"/></geometry></visual>
+  </link>
+  <joint name="j1" type="revolute">
+    <parent link="channel"/><child link="mid"/>
+    <origin xyz="0 0 0.2"/><axis xyz="0 0 1"/>
+    <limit lower="-3.14" upper="3.14" effort="10" velocity="2"/>
+  </joint>
+  <joint name="j2" type="revolute">
+    <parent link="mid"/><child link="bar"/>
+    <origin xyz="0 0 0"/><axis xyz="0 0 1"/>
+    <limit lower="-3.14" upper="3.14" effort="10" velocity="2"/>
+  </joint>
+</robot>
+"""
+
+
+@pytest.fixture()
+def channel(tmp_path):
+    """U-channel (non-convex mesh link) + a bar that can swing inside
+    the cavity: base slab z in [-0.1, 0], walls at |x| in [0.3, 0.5]
+    up to z = 0.4 — the cavity is INSIDE the convex hull."""
+    soup = np.concatenate([
+        _box_soup((0, 0, -0.05), (0.5, 0.5, 0.05)),
+        _box_soup((+0.4, 0, 0.2), (0.1, 0.5, 0.2)),
+        _box_soup((-0.4, 0, 0.2), (0.1, 0.5, 0.2)),
+    ])
+    _write_stl(tmp_path / "uchannel.stl", soup)
+    p = tmp_path / "channel.urdf"
+    p.write_text(CHANNEL_URDF)
+    tree = load_urdf(str(p))
+    eng = DynamicsEngine(tree)
+    return tree, eng
+
+
+def test_full_mode_accepts_concave_clearance(channel):
+    """The bar inside the channel cavity: the hull tier reports
+    penetration (the hull fills the cavity) but the raw triangles clear
+    by 0.15 m — `collisionMode: full` must accept, `convex` must
+    reject (reference full-mesh semantics, optimizer.py:571-634)."""
+    nm = pytest.importorskip("flobaroid_tpu.native_meshdist")
+    if not nm.available():
+        pytest.skip("native toolchain unavailable")
+    tree, eng = channel
+    base = dict(
+        checkCollisions=1, scaleCollisionHull=1.0, meshBaseDir="meshes",
+        maxKinematicDistance=0,
+    )
+    cm = CollisionModel(tree, eng, dict(base, collisionMode="capsule"))
+    assert ("channel", "bar") in cm.self_pairs
+
+    # q2 = +pi/2 swings the bar to (0, 0.28, 0.2): inside the cavity,
+    # 0.15 m above the base slab, 0.25 m from either wall
+    q_inside = np.array([[0.0, np.pi / 2]])
+
+    convex = MeshCollisionVerifier(tree, eng, dict(base, collisionMode="convex"), cm)
+    ok_c, bad_c = convex.verify(q_inside)
+    assert not ok_c and ("channel", "bar") in [p for p, _ in bad_c], (
+        "hull tier must (conservatively) reject the in-cavity pose"
+    )
+
+    full = MeshCollisionVerifier(tree, eng, dict(base, collisionMode="full"), cm)
+    assert full._native, "native narrowphase must be active in full mode"
+    ok_f, bad_f = full.verify(q_inside)
+    assert ok_f, f"triangle-exact tier must accept the cavity pose: {bad_f}"
+
+    # q = 0 leaves the bar at (0.28, 0, 0.2): x in [0.23, 0.33]
+    # interpenetrates the +x wall (x >= 0.3) — full mode must reject too
+    ok_p, bad_p = full.verify(np.array([[0.0, 0.0]]))
+    assert not ok_p
+    assert ("channel", "bar") in [p for p, _ in bad_p]
+    assert dict(bad_p)[("channel", "bar")] <= 1e-3
