@@ -302,6 +302,30 @@ def test_streaming_gram_matches_materialized(kuka_tmp):
     assert abs(idf_s.res_error - idf_m.res_error) < 0.05
 
 
+def test_streaming_long_recording_fallback(kuka_tmp):
+    """>64 chunks takes the host-accumulation path (and per-chunk
+    reporting contractions) instead of the one-dispatch scan — both
+    must give the same estimate."""
+    samples, _ = synth_samples(kuka_tmp, n=1200, noise=0.05, seed=77)
+    base = dict(floatingBase=0, materializeRegressor=0)
+    opt_scan = base_opt(**base, gramChunk=256)  # 5 chunks -> scan path
+    idf_a = Identification(opt_scan, kuka_tmp)
+    idf_a.data.init_from_data(dict(samples))
+    idf_a.estimateParameters()
+    assert idf_a.model._staged["stacks"] is not None
+
+    opt_loop = base_opt(**base, gramChunk=16)  # 75 chunks -> fallback
+    idf_b = Identification(opt_loop, kuka_tmp)
+    idf_b.data.init_from_data(dict(samples))
+    idf_b.estimateParameters()
+    assert idf_b.model._staged["stacks"] is None
+    assert isinstance(idf_b.model.G_rows, np.ndarray)
+
+    np.testing.assert_allclose(idf_b.model.xBase, idf_a.model.xBase,
+                               rtol=1e-6, atol=1e-9)
+    assert abs(idf_b.res_error - idf_a.res_error) < 1e-6
+
+
 def test_streaming_wls_matches_materialized(kuka_tmp):
     """materializeRegressor=0 + useWLS: the per-channel Gram reweighting
     must reproduce the materialized WLS base solution."""
