@@ -10,9 +10,13 @@ import os
 from .config import load_config
 
 
-def setup_jax() -> None:
+def setup_jax(prefer_cpu: bool = False) -> None:
     """Honor JAX_PLATFORMS from the environment and enable the
-    persistent compilation cache.
+    persistent compilation cache. prefer_cpu pins the process to the
+    host backend unless the environment explicitly asks otherwise —
+    for CLIs with no accelerator content (visualization), where
+    per-frame dispatches through a remote-execution relay would
+    dominate the wall clock.
 
     Some environments pre-import jax via sitecustomize with their own
     platform baked in, which silently overrides the env var. Re-apply it
@@ -25,6 +29,11 @@ def setup_jax() -> None:
     import jax
 
     plat = os.environ.get("JAX_PLATFORMS")
+    if prefer_cpu:
+        # the platform env var is typically baked in by the runtime
+        # harness, not chosen by the user — for host-only CLIs override
+        # it outright (must run before any backend initialization)
+        plat = "cpu"
     if plat:
         # keep the host backend registered: the parameter-space solvers
         # (conic.py) pin themselves to jax.devices("cpu"), and an

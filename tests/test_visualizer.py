@@ -65,3 +65,46 @@ def test_mesh_rendering_and_animation(tmp_path):
     # meshless fallback: no crash, no meshes
     viz2 = Visualizer(tree, DynamicsEngine(tree), draw_meshes=False)
     assert viz2.link_meshes == {}
+
+
+def test_webgl_viewer_export(tmp_path):
+    """The interactive WebGL export embeds per-frame link transforms,
+    geometry buffers, collision flags and torque bars in ONE offline
+    HTML file."""
+    import base64
+
+    from flobaroid_tpu.collision import CollisionModel
+    from flobaroid_tpu.webgl_viewer import export_webgl
+
+    os.makedirs(tmp_path / "meshes", exist_ok=True)
+    _write_cube_stl(str(tmp_path / "meshes" / "cube.stl"))
+    urdf = str(tmp_path / "robot.urdf")
+    open(urdf, "w").write(URDF)
+    tree = load_urdf(urdf)
+    eng = DynamicsEngine(tree)
+    cm = CollisionModel(tree, eng, dict(checkCollisions=1, meshBaseDir="meshes",
+                                        maxKinematicDistance=0))
+    viz = Visualizer(tree, eng, collision_model=cm, urdf_path=urdf,
+                     tau_limits=np.array([10.0]))
+    Q = np.linspace(-0.5, 0.5, 30)[:, None]
+    tau = np.linspace(-12, 12, 30)[:, None]  # crosses the limit
+    out = export_webgl(viz, Q, str(tmp_path / "traj3d.html"), step=5,
+                       torques=tau)
+    content = open(out).read()
+    assert "webgl" in content  # canvas context
+    assert "orbit" in content  # interaction hint
+    meta_json = content.split("const META=", 1)[1].split(";\n", 1)[0]
+    import json
+
+    meta = json.loads(meta_json)
+    assert meta["frames"] == 6
+    assert meta["num_links"] == tree.num_links
+    assert meta["joints"] == list(tree.dof_names)
+    # transform blob decodes to frames x links x 12 f32
+    xf_b64 = content.split('const XF=f32("', 1)[1].split('"', 1)[0]
+    xf = np.frombuffer(base64.b64decode(xf_b64), np.float32)
+    assert xf.shape == (meta["frames"] * meta["num_links"] * 12,)
+    assert np.all(np.isfinite(xf))
+    # rotation part of frame 0, link 0 is an orthonormal basis
+    R0 = xf[:9].reshape(3, 3)
+    np.testing.assert_allclose(R0 @ R0.T, np.eye(3), atol=1e-5)

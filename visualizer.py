@@ -16,7 +16,9 @@ from flobaroid_tpu.utils.cli import base_parser, load_cli_config, setup_jax
 
 
 def main():
-    setup_jax()
+    # visualization has no accelerator content: FK-per-frame through a
+    # remote-execution relay would dominate, so pin to the host backend
+    setup_jax(prefer_cpu=True)
     p = base_parser("Visualize robot model and trajectories")
     p.add_argument("--trajectory", help="trajectory/measurements npz to play back")
     p.add_argument("--world", help="world URDF with obstacles")
@@ -24,6 +26,10 @@ def main():
     p.add_argument("--pose", default=None,
                    help="comma-separated joint angles for a static snapshot")
     p.add_argument("--step", type=int, default=10, help="animation frame step")
+    p.add_argument("--webgl", action="store_true",
+                   help="interactive 3D WebGL viewer (orbit camera, "
+                        "playback, collision highlighting) instead of "
+                        "the PNG-frame scrubber")
     p.add_argument("--no_meshes", action="store_true",
                    help="skip visual STL meshes (wireframe capsules only)")
     p.add_argument("--margin", type=float, default=0.0,
@@ -56,9 +62,16 @@ def main():
             base_rpy = f["base_rpy"] if "base_rpy" in f.files else None
             base_pos = f["base_position"] if "base_position" in f.files else None
             torques = f["torques"] if "torques" in f.files else None
-        out = args.out or "trajectory.html"
-        viz.animate(Q, out, base_rpy=base_rpy, base_pos=base_pos, step=args.step,
-                    torques=torques)
+        if args.webgl:
+            from flobaroid_tpu.webgl_viewer import export_webgl
+
+            out = args.out or "trajectory_3d.html"
+            export_webgl(viz, Q, out, base_rpy=base_rpy, base_pos=base_pos,
+                         step=args.step, torques=torques)
+        else:
+            out = args.out or "trajectory.html"
+            viz.animate(Q, out, base_rpy=base_rpy, base_pos=base_pos,
+                        step=args.step, torques=torques)
         print(f"wrote {out} ({len(Q)} samples)")
     else:
         q = (
