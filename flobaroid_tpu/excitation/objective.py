@@ -349,7 +349,34 @@ class TrajectoryObjective:
         return float(f), np.asarray(g), int(n_obs)
 
     def evaluate_batch(self, X):
-        f, g, n_obs = self._evaluate_batch(jnp.asarray(X, self.dtype), self.dopt_scale)
+        X = jnp.asarray(X, self.dtype)
+        shards = int(self.config.get("shardCandidates", 0) or 0)
+        if shards > 1:
+            # candidate-axis SPMD (SURVEY §2.9: the reference's Optuna
+            # worker processes become device-sharded candidate batches):
+            # the vmapped objective is embarrassingly parallel across
+            # candidates, so sharding the leading axis makes GSPMD place
+            # one slice per device — no collectives, pure ICI-free scaling
+            import jax as _jax
+
+            if len(_jax.devices()) < shards:
+                print(
+                    f"shardCandidates={shards} but only "
+                    f"{len(_jax.devices())} device(s) visible — running unsharded"
+                )
+            else:
+                from ..parallel.mesh import make_mesh, pad_to_multiple, shard_batch
+
+                if getattr(self, "_cand_mesh", None) is None:
+                    self._cand_mesh = make_mesh(shards, axis="candidates")
+                Xp, n = pad_to_multiple(np.asarray(X), shards)
+                (Xj,) = shard_batch(
+                    self._cand_mesh, jnp.asarray(Xp, self.dtype), axis="candidates"
+                )
+                f, g, n_obs = self._evaluate_batch(Xj, self.dopt_scale)
+                return (np.asarray(f)[:n], np.asarray(g)[:n],
+                        np.asarray(n_obs)[:n])
+        f, g, n_obs = self._evaluate_batch(X, self.dopt_scale)
         return np.asarray(f), np.asarray(g), np.asarray(n_obs)
 
     def penalized_value_and_grad(self, x, weight):

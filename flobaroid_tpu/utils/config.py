@@ -173,6 +173,7 @@ DEFAULTS: dict[str, Any] = {
     "gramChunk": 4096,  # samples per on-device Gram accumulation chunk
     "materializeRegressor": 1,  # keep the stacked YStd (else stream Gram only)
     "shardSamples": 0,  # shard the sample axis over the device mesh
+    "shardCandidates": 0,  # shard global-search candidate batches over devices
     "jaxProfileDir": None,  # capture a JAX device profile of the estimation
 }
 

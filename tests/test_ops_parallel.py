@@ -98,3 +98,47 @@ def test_streaming_gram_sharded_matches_unsharded():
 
     np.testing.assert_allclose(res[8][0], res[0][0], rtol=1e-10, atol=1e-12)
     np.testing.assert_allclose(res[8][1], res[0][1], rtol=1e-8)
+
+
+def test_sharded_candidate_batch_matches_unsharded():
+    """shardCandidates>1: the global-search candidate batch shards its
+    leading axis over the device mesh (the TPU-native form of the
+    reference's Optuna worker processes, optimizer.py:52-147); values
+    must match the unsharded evaluation, including a non-divisible
+    batch size (padding sliced off)."""
+    import os
+
+    from flobaroid_tpu.excitation.objective import TrajectoryObjective
+    from flobaroid_tpu.excitation.optimizer import build_bounds
+    from flobaroid_tpu.excitation.trajectory import FourierSpec
+    from flobaroid_tpu.model import Model
+    from flobaroid_tpu.utils.config import load_config
+
+    assert len(jax.devices()) >= 8
+    REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+    urdf = os.path.join(REPO, "examples", "models", "sevenlink_arm.urdf")
+    opt = load_config(None, overrides=dict(
+        floatingBase=0, useStructuralRegressor=1, randomSamples=500,
+        trajectoryDuration=2.0, trajectorySamplingRate=50.0,
+        checkCollisions=0, verbose=0,
+    ))
+    m = Model(dict(opt), urdf)
+    lims = m.limits
+    nf = tuple(2 for _ in m.jointNames)
+    limits = tuple(
+        (float(lims[j]["lower"]), float(lims[j]["upper"])) for j in m.jointNames
+    )
+    spec = FourierSpec(nf=nf, limits=limits)
+    obj = TrajectoryObjective(m, dict(opt), spec)
+    rng = np.random.default_rng(11)
+    lo, hi = build_bounds(spec, opt)
+    X = lo + (hi - lo) * rng.random((13, len(lo)))  # 13: not divisible by 8
+    obj.calibrate_scale(X[0])
+
+    f0, g0, n0 = obj.evaluate_batch(X)
+    obj.config["shardCandidates"] = 8
+    f8, g8, n8 = obj.evaluate_batch(X)
+    assert f8.shape == f0.shape and g8.shape == g0.shape
+    np.testing.assert_allclose(f8, f0, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(g8, g0, rtol=1e-6, atol=1e-8)
+    np.testing.assert_array_equal(n8, n0)
