@@ -94,7 +94,11 @@ class Identification:
             x_id = m.xStdModel[m.identified_params]
             tauEst = m.contract_identified(x_id).reshape(-1) if streaming else m.YStd @ x_id
         elif estimateWith == "base_essential":
-            tauEst = m.YBase @ self.xBase_essential
+            if streaming:
+                Pb = m.B if opt["useBasisProjection"] else m.Pb
+                tauEst = m.contract_identified(Pb @ self.xBase_essential).reshape(-1)
+            else:
+                tauEst = m.YBase @ self.xBase_essential
         elif estimateWith == "base":
             if streaming:
                 # base params expand to std space for the contraction
@@ -313,6 +317,8 @@ class Identification:
         """Iteratively drop the base param with largest relative stddev
         until max/min stddev ratio < 30 (reference identifier.py:372-529)."""
         m = self.model
+        if m.YBase is None:
+            return self._findBaseEssentialParametersStreaming()
         xBase_orig = m.xBase.copy()
         YBase_orig = m.YBase.copy()
         base_idx = list(range(m.num_base_params))
@@ -348,6 +354,55 @@ class Identification:
         m.YBase = YBase_orig
         m.xBase = xBase_orig
 
+    def _findBaseEssentialParametersStreaming(self) -> None:
+        """Essential-parameter deletion from the accumulated Grams
+        (materializeRegressor=0): C_xx is proportional to pinv(G_kept),
+        and the residual power rho scales ALL sigmas uniformly — the
+        deletion ORDER and the max/min stop ratio are rho-independent.
+        rho is computed once from a single streamed contraction so the
+        reported sigma magnitudes stay physical (a per-iteration
+        Gram-identity rho cancels catastrophically in f32)."""
+        m = self.model
+        xBase_orig = m.xBase.copy()
+        self.estimateRegressorTorques("base")
+        r = self.data.num_used_samples * (m.num_dofs + m.fb)
+        rho = float(np.square(np.linalg.norm(m.tauMeasured - self.tauEstimated)))
+        G0 = np.asarray(m.G_base)
+        rhs0 = np.asarray(m.g_base - m.g_cf_base)
+        kept = list(range(m.num_base_params))
+        not_essential: list[int] = []
+        prev_sigma = None
+        prev_xBase = m.xBase.copy()
+        while True:
+            G = G0[np.ix_(kept, kept)]
+            sigma_rho = rho / max(r - len(kept), 1)
+            p_sigma = np.sqrt(np.abs(np.diag(sigma_rho * np.linalg.pinv(G))))
+            nz = m.xBase != 0
+            p_sigma[nz] = p_sigma[nz] / np.abs(m.xBase[nz])
+            ratio = np.max(p_sigma) / max(np.min(p_sigma), 1e-300)
+            if ratio < 30 or len(kept) <= 2:
+                break
+            prev_sigma = p_sigma
+            k = int(np.argmax(p_sigma))
+            not_essential.append(kept[k])
+            prev_xBase = m.xBase.copy()
+            del kept[k]
+            G = G0[np.ix_(kept, kept)]
+            m.xBase = np.linalg.lstsq(G, rhs0[kept], rcond=None)[0]
+        if not_essential:
+            # the last deleted parameter brought the ratio under the
+            # threshold; keep it (reference identifier.py:512)
+            not_essential.pop()
+        self.p_sigma_x = prev_sigma if prev_sigma is not None else p_sigma
+        self.baseNonEssentialIdx = not_essential
+        self.baseEssentialIdx = [
+            x for x in range(m.num_base_params) if x not in not_essential
+        ]
+        self.num_essential_params = len(self.baseEssentialIdx)
+        self.xBase_essential = np.zeros(m.num_base_params)
+        self.xBase_essential[self.baseEssentialIdx] = prev_xBase
+        m.xBase = xBase_orig
+
     def findStdFromBaseEssParameters(self) -> None:
         """Map essential base -> essential std columns (reference
         identifier.py:531-615)."""
@@ -378,14 +433,23 @@ class Identification:
     def identifyStandardEssentialParameters(self) -> None:
         m = self.model
         x_id = m.xStdModel[m.identified_params] if self.opt["useAPriori"] else None
-        m.xStd = ls.std_essential(
-            m.YStd, m.tau, self.xStdEssential, self.num_essential_params, x_id
-        )
+        if m.YStd is None:
+            m.xStd = ls.std_essential_gram(
+                m.G_std, m.g_tau, self.xStdEssential,
+                self.num_essential_params, x_id,
+            )
+        else:
+            m.xStd = ls.std_essential(
+                m.YStd, m.tau, self.xStdEssential, self.num_essential_params, x_id
+            )
 
     def identifyStandardParametersDirect(self) -> None:
         m = self.model
         x_id = m.xStdModel[m.identified_params] if self.opt["useAPriori"] else None
-        m.xStd = ls.std_direct(m.YStd, m.tau, m.num_base_params, x_id)
+        if m.YStd is None:
+            m.xStd = ls.std_direct_gram(m.G_std, m.g_tau, m.num_base_params, x_id)
+        else:
+            m.xStd = ls.std_direct(m.YStd, m.tau, m.num_base_params, x_id)
 
     # ------------------------------------------------------------------
     def _postIdentifyFriction(self) -> None:
@@ -529,6 +593,9 @@ class Identification:
             elif ew == "base":
                 Pb = m.B if opt["useBasisProjection"] else m.Pb
                 xs.append(np.asarray(Pb @ m.xBase, dtype=float))
+            elif ew == "base_essential" and hasattr(self, "xBase_essential"):
+                Pb = m.B if opt["useBasisProjection"] else m.Pb
+                xs.append(np.asarray(Pb @ self.xBase_essential, dtype=float))
             m.prefetch_contractions(xs)
         self.estimateRegressorTorques("urdf")
         self.estimateRegressorTorques()

@@ -66,6 +66,40 @@ def std_direct(YStd, tau, num_base_params, xStdModel_id=None):
     return x
 
 
+def _eig_trunc_solve(G, g, rank):
+    """Rank-truncated pseudoinverse solve from a Gram: with Y = U S V^T,
+    G = Y^T Y = V S^2 V^T and g = Y^T b = V S U^T b, so the truncated
+    SVD solution V_r S_r^{-1} U_r^T b equals V_r S_r^{-2} V_r^T g."""
+    lam, V = np.linalg.eigh(G)  # ascending
+    rank = int(min(rank, len(lam)))
+    lam_r = np.maximum(lam[-rank:], np.finfo(float).tiny)
+    V_r = V[:, -rank:]
+    return V_r @ ((V_r.T @ g) / lam_r)
+
+
+def std_direct_gram(G_std, g_tau, num_base_params, xStdModel_id=None):
+    """Streaming-mode rank-truncated direct standard estimation: the
+    materialized version's SVD of YStd (reference identifier.py:792-829)
+    re-expressed over the accumulated Gram, so the stacked regressor is
+    never needed."""
+    x = _eig_trunc_solve(G_std, g_tau, num_base_params)
+    if xStdModel_id is not None:
+        x = xStdModel_id + x
+    return x
+
+
+def std_essential_gram(G_std, g_tau, xStdEssential, num_essential, xStdModel_id=None):
+    """Streaming-mode weighted-SVD essential estimation: Y_e = Y D gives
+    G_e = D G D and g_e = D g, so the reference's weighted truncation
+    (identifier.py:831-855) runs from the Grams."""
+    D = np.asarray(xStdEssential, dtype=float)
+    Ge = G_std * D[:, None] * D[None, :]
+    x = D * _eig_trunc_solve(Ge, D * g_tau, num_essential)
+    if xStdModel_id is not None:
+        x = xStdModel_id + x
+    return x
+
+
 def std_essential(YStd, tau, xStdEssential, num_essential, xStdModel_id=None):
     """Weighted-SVD standard-essential estimation (reference
     identifier.py:831-855)."""

@@ -589,10 +589,26 @@ class SDP:
         objective from the device-accumulated Gram of the std regressor."""
         opt = idf.opt
         m = idf.model
-        Y = np.delete(m.YStd, self.delete_cols, axis=1)
-        tau = m.torques_stack - m.contactForcesSum
-        G = Y.T @ Y
-        g = Y.T @ tau
+        if m.YStd is None:
+            # streaming: the same quadratic from the accumulated Grams
+            # (Y^T(torques - cf) = g_tau - g_cf when no a-priori offset
+            # is folded into tau)
+            if opt["useAPriori"]:
+                raise ValueError(
+                    "materializeRegressor=0 + estimateWith=std_direct + "
+                    "constrainToConsistent needs useAPriori=0 (the Grams "
+                    "accumulate Y^T(tau - tau_apriori))"
+                )
+            G = np.delete(np.delete(m.G_std, self.delete_cols, 0),
+                          self.delete_cols, 1)
+            g = np.delete(m.g_tau - m.g_cf, self.delete_cols)
+            tau_sq = float(m.tau_sq - 2.0 * m.tau_cf + m.cf_sq)
+        else:
+            Y = np.delete(m.YStd, self.delete_cols, axis=1)
+            tau = m.torques_stack - m.contactForcesSum
+            G = Y.T @ Y
+            g = Y.T @ tau
+            tau_sq = float(tau @ tau)
         base_error = float(getattr(idf, "base_error", 1.0) or 1.0)
         p_nid = sorted(set(m.non_id).difference(self.delete_cols).intersection(m.identified_params))
         if opt["useRegressorRegularization"] and p_nid:
@@ -604,11 +620,9 @@ class SDP:
         S = self._scatter
         G_free = S.T @ G @ S
         g_free = S.T @ (g - G @ self._fixed_vec)
-        Gj = jnp.asarray(G_free)
-        gj = jnp.asarray(g_free)
 
         x, status = self._get_solver().solve_quadratic(
-            self._x0_free(), 2.0 * G_free, -2.0 * g_free, float(tau @ tau)
+            self._x0_free(), 2.0 * G_free, -2.0 * g_free, tau_sq
         )
         self.last_status = status
         if status == "optimal":

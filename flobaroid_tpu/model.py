@@ -750,10 +750,11 @@ class Model:
         import jax.numpy as jnp
 
         opt = self.opt
-        if opt["useEssentialParams"] or opt["estimateWith"] == "std_direct" or opt["filterRegressor"]:
+        if opt["filterRegressor"]:
             raise ValueError(
-                "materializeRegressor=0 supports the OLS/WLS/SDP paths; "
-                "essential/std_direct/filterRegressor need the stacked regressor"
+                "materializeRegressor=0 cannot filter regressor columns "
+                "(filterRegressor needs the stacked regressor); essential/"
+                "std_direct/OLS/WLS/SDP all run from the accumulated Grams"
             )
         dt = self._compute_dtype()
         floating = bool(opt["floatingBase"])

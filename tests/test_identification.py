@@ -326,6 +326,49 @@ def test_streaming_long_recording_fallback(kuka_tmp):
     assert abs(idf_b.res_error - idf_a.res_error) < 1e-6
 
 
+def test_streaming_essential_and_direct_match_materialized(kuka_tmp):
+    """materializeRegressor=0 now covers essential parameters and
+    std_direct: the deletion loop runs on G_base subsets (rho only
+    scales sigmas uniformly, so the deletion order matches), and the
+    rank-truncated SVD becomes an eigendecomposition of the Gram."""
+    samples, _ = synth_samples(kuka_tmp, n=1200, noise=0.05, seed=79)
+
+    # essential parameters
+    res = {}
+    for mat in (1, 0):
+        opt = base_opt(floatingBase=0, useEssentialParams=1,
+                       materializeRegressor=mat, gramChunk=256)
+        idf = Identification(opt, kuka_tmp)
+        idf.data.init_from_data(dict(samples))
+        idf.estimateParameters()
+        res[mat] = idf
+    assert res[0].model.YStd is None
+    assert res[0].baseEssentialIdx == res[1].baseEssentialIdx
+    np.testing.assert_allclose(
+        res[0].xBase_essential, res[1].xBase_essential, rtol=1e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(res[0].model.xStd), np.asarray(res[1].model.xStd),
+        rtol=1e-4, atol=1e-6,
+    )
+
+    # std_direct
+    res = {}
+    for mat in (1, 0):
+        opt = base_opt(floatingBase=0, estimateWith="std_direct",
+                       materializeRegressor=mat, gramChunk=256)
+        idf = Identification(opt, kuka_tmp)
+        idf.data.init_from_data(dict(samples))
+        idf.estimateParameters()
+        res[mat] = idf
+    assert res[0].model.YStd is None
+    np.testing.assert_allclose(
+        np.asarray(res[0].model.xStd), np.asarray(res[1].model.xStd),
+        rtol=1e-4, atol=1e-6,
+    )
+    assert abs(res[0].res_error - res[1].res_error) < 0.05
+
+
 def test_streaming_wls_matches_materialized(kuka_tmp):
     """materializeRegressor=0 + useWLS: the per-channel Gram reweighting
     must reproduce the materialized WLS base solution."""
