@@ -20,11 +20,56 @@ best-so-far (reference trajectoryOptimizer.py:860-882).
 
 from __future__ import annotations
 
+import json
+import os
 import signal
 
 import numpy as np
 from .objective import TrajectoryObjective
 from .trajectory import FourierSpec
+
+
+class Checkpoint:
+    """Mid-optimization checkpoint/resume (beyond the reference, which
+    only checkpoints at stage boundaries via npz files — SURVEY §5 'no
+    mid-optimization resume'). One npz holds the phase, loop counters,
+    search state and best-so-far; saves are atomic (tmp + replace), and
+    a checkpoint from a different phase or parameter dimension is
+    ignored. Enabled by `trajectoryCheckpointFile`."""
+
+    def __init__(self, config: dict, dim: int):
+        self.path = str(config.get("trajectoryCheckpointFile", "") or "")
+        self.dim = dim
+
+    def load(self, phase: str):
+        if not self.path or not os.path.exists(self.path):
+            return None
+        try:
+            with np.load(self.path, allow_pickle=False) as f:
+                if str(f["phase"]) != phase or int(f["dim"]) != self.dim:
+                    return None
+                return {k: f[k] for k in f.files}
+        except (OSError, ValueError, KeyError):
+            return None
+
+    def save(self, phase: str, **arrays) -> None:
+        if not self.path:
+            return
+        tmp = self.path + ".tmp.npz"
+        np.savez(tmp, phase=phase, dim=self.dim, **arrays)
+        os.replace(tmp, self.path)
+
+    def clear(self) -> None:
+        if self.path and os.path.exists(self.path):
+            os.remove(self.path)
+
+    @staticmethod
+    def pack_rng(rng) -> str:
+        return json.dumps(rng.bit_generator.state)
+
+    @staticmethod
+    def restore_rng(rng, packed) -> None:
+        rng.bit_generator.state = json.loads(str(packed))
 
 
 class InterruptGuard:
@@ -131,14 +176,34 @@ def global_search(
         viol = np.maximum(gv, 0.0)
         return fv + penalty * (viol**2).sum(axis=-1) + 0.1 * penalty * viol.sum(axis=-1)
 
-    for r in range(restarts):
-        mean = np.clip(initial_candidate(spec, config, rng), lo, hi)
+    ckpt = Checkpoint(config, dim)
+    resume = ckpt.load("global")
+    r0 = it0 = 0
+    mean = sigma = None
+    if resume is not None:
+        r0 = int(resume["r"])
+        it0 = int(resume["it"])
+        mean = np.asarray(resume["mean"], float)
+        sigma = np.asarray(resume["sigma"], float)
+        best_x = np.asarray(resume["best_x"], float)
+        best_f = float(resume["best_f"])
+        best_feas = bool(resume["best_feas"])
+        Checkpoint.restore_rng(rng, resume["rng_state"])
+        print(f"resuming global search from checkpoint "
+              f"(restart {r0}, generation {it0})")
+
+    for r in range(r0, restarts):
+        if mean is None:
+            mean = np.clip(initial_candidate(spec, config, rng), lo, hi)
+            sigma = 0.3 * (hi - lo)
         if best_x is None:
             best_x = mean.copy()
-        sigma = 0.3 * (hi - lo)
-        for it in range(iters):
+        for it in range(it0, iters):
             if should_stop is not None and should_stop():
                 return best_x, best_f, best_feas
+            ckpt.save("global", r=r, it=it, mean=mean, sigma=sigma,
+                      best_x=best_x, best_f=best_f, best_feas=best_feas,
+                      rng_state=Checkpoint.pack_rng(rng))
             X = mean[None, :] + sigma[None, :] * rng.standard_normal((pop, dim))
             X = np.clip(X, lo, hi)
             X[0] = mean  # elitism
@@ -160,6 +225,8 @@ def global_search(
             elite = X[order[:n_elite]]
             mean = elite.mean(axis=0)
             sigma = elite.std(axis=0) * 1.2 + 1e-4 * (hi - lo)
+        mean = None  # next restart draws a fresh mean
+        it0 = 0
     if not best_feas and config.get("globalOptAmplitudeRepair", 1):
         best_x, best_feas = amplitude_repair(obj, best_x)
         if best_feas:
@@ -195,9 +262,24 @@ def local_refine(
     lam = np.zeros_like(g0)
     rho = 10.0
     prev_viol = float(np.max(np.maximum(g0, 0.0)))
-    for _s in range(stages):
+    ckpt = Checkpoint(config, spec.dim)
+    s0 = 0
+    resume = ckpt.load("local")
+    if resume is not None:
+        s0 = int(resume["s"])
+        x = np.asarray(resume["x"], float)
+        lam = np.asarray(resume["lam"], float)
+        rho = float(resume["rho"])
+        prev_viol = float(resume["prev_viol"])
+        best_x = np.asarray(resume["best_x"], float)
+        best_f = float(resume["best_f"])
+        best_feas = bool(resume["best_feas"])
+        print(f"resuming local refinement from checkpoint (stage {s0})")
+    for _s in range(s0, stages):
         if should_stop is not None and should_stop():
             break
+        ckpt.save("local", s=_s, x=x, lam=lam, rho=rho, prev_viol=prev_viol,
+                  best_x=best_x, best_f=best_f, best_feas=best_feas)
         x, _ = obj.al_refine(x, lo, hi, lam, rho, lr=0.01, n_steps=iters)
         x = np.clip(x, lo, hi)
         f, g, _ = obj.evaluate(x)
@@ -334,6 +416,10 @@ def optimize_trajectory(model, config, yty_prior=None, seeds=None, rng=None):
                 info["mesh_collision_ok"] = bool(ok)
                 if not ok:
                     print(f"mesh verification still failing: {bad[:4]}")
+    if not info.get("interrupted"):
+        # a finished run invalidates its mid-optimization checkpoint
+        # (an interrupted one keeps it so the next run resumes)
+        Checkpoint(config, spec.dim).clear()
     fv, gv, n_obs = obj.evaluate(x)
     info.update(f=fv, max_violation=float(np.max(gv)), feasible=obj.feasible(gv) and info.get("mesh_collision_ok", True), n_observable=int(n_obs))
     return x, spec, obj, info

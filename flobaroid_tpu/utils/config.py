@@ -174,6 +174,9 @@ DEFAULTS: dict[str, Any] = {
     "materializeRegressor": 1,  # keep the stacked YStd (else stream Gram only)
     "shardSamples": 0,  # shard the sample axis over the device mesh
     "shardCandidates": 0,  # shard global-search candidate batches over devices
+    # mid-optimization checkpoint/resume for the trajectory optimizer
+    # (beyond the reference, which only checkpoints stage outputs)
+    "trajectoryCheckpointFile": "",
     "jaxProfileDir": None,  # capture a JAX device profile of the estimation
 }
 

@@ -111,3 +111,42 @@ def test_global_restarts_track_best(arm_obj):
     cfg.update(globalOptSize=8, globalOptIterations=2, globalOptRestarts=3)
     x, f, feas = global_search(obj, cfg, rng=np.random.default_rng(3))
     assert np.isfinite(f) and np.all(np.isfinite(x))
+
+
+def test_checkpoint_resume_matches_uninterrupted(arm_obj, tmp_path):
+    """Mid-optimization resume (beyond the reference): a run killed
+    after N generations and resumed from its checkpoint must reproduce
+    the uninterrupted run exactly (same rng state, counters, best)."""
+    obj, opt = arm_obj
+    cfg = dict(opt)
+    cfg.update(globalOptSize=8, globalOptIterations=4, globalOptRestarts=2,
+               globalOptAmplitudeRepair=0,
+               trajectoryCheckpointFile=str(tmp_path / "opt_ckpt.npz"))
+
+    # uninterrupted reference run (no checkpoint file)
+    ref_cfg = dict(cfg, trajectoryCheckpointFile="")
+    x_ref, f_ref, _ = global_search(obj, ref_cfg, rng=np.random.default_rng(7))
+
+    # interrupted run: stop after 3 generations, checkpoint retained
+    calls = {"n": 0}
+    x1, f1, _ = global_search(
+        obj, cfg, rng=np.random.default_rng(7),
+        should_stop=lambda: calls.__setitem__("n", calls["n"] + 1) or calls["n"] > 3,
+    )
+    assert os.path.exists(cfg["trajectoryCheckpointFile"])
+
+    # resume with a FRESH rng (state comes from the checkpoint)
+    x2, f2, _ = global_search(obj, cfg, rng=np.random.default_rng(999))
+    np.testing.assert_allclose(x2, x_ref, rtol=0, atol=0)
+    assert f2 == f_ref
+
+    # local stage: interrupt after one stage, resume completes
+    cfg_l = dict(cfg, localOptStages=3, localOptIterations=1)
+    x0 = initial_candidate(obj.spec, cfg_l, np.random.default_rng(5))
+    calls = {"n": 0}
+    local_refine(obj, cfg_l, x0,
+                 should_stop=lambda: calls.__setitem__("n", calls["n"] + 1)
+                 or calls["n"] > 1)
+    assert os.path.exists(cfg_l["trajectoryCheckpointFile"])
+    x3, f3, feas3 = local_refine(obj, cfg_l, x0)
+    assert np.all(np.isfinite(x3))
