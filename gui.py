@@ -61,6 +61,7 @@ class PipelineGUI:
             ("Optimize trajectory", self.run_trajectory),
             ("Simulate", self.run_simulate),
             ("Identify", self.run_identify),
+            ("Visualize 3D", self.run_visualize),
             ("Full pipeline", self.run_all),
             ("Cancel", self.cancel),
         ]
@@ -150,6 +151,15 @@ class PipelineGUI:
         if self.vars["validation"].get():
             extra += ["--validation", self.vars["validation"].get()]
         self._run(self._args("identifier.py", *extra), then)
+
+    def run_visualize(self, then=None):
+        """Interactive WebGL viewer of the trajectory/measurements file."""
+        extra = ["--trajectory",
+                 self.vars["measurements"].get() or self.vars["trajectory"].get(),
+                 "--webgl"]
+        if self.vars["world"].get():
+            extra += ["--world", self.vars["world"].get()]
+        self._run(self._args("visualizer.py", *extra), then)
 
     def run_all(self):
         self.run_trajectory(then=lambda: self.run_simulate(then=self.run_identify))
