@@ -21,6 +21,11 @@ enable_compilation_cache()
 print("device:", jax.devices()[0], flush=True)
 tmp = tempfile.mkdtemp(); urdf = os.path.join(tmp, "humanoid30.urdf")
 shutil.copy("examples/models/humanoid30.urdf", urdf)
+# reuse the bundled structural-regressor QR cache (options match; a cold
+# random-regressor pass through the remote-compile tunnel costs ~8 min)
+if os.path.exists("examples/models/humanoid30.urdf.regressor.npz"):
+    shutil.copy("examples/models/humanoid30.urdf.regressor.npz",
+                urdf + ".regressor.npz")
 opt = load_config(None, overrides=dict(
     floatingBase=1, floatingBaseAttachment="suspended",
     floatingBaseAttachmentFrame="crane_ft", suspendedDamping=500.0,
