@@ -204,12 +204,17 @@ class CollisionModel:
                     for gb in group_pair[1]:
                         ignore_pairs.add(tuple(sorted((ga, gb))))
 
+        # reference key scaleCapsuleRadius (capsule-mode radius scale,
+        # excitation/optimizer.py:538): applied to the fitted radius
+        rscale = float(config.get("scaleCapsuleRadius", 1.0))
         self.capsules: dict[str, Capsule] = {}
         for name in tree.link_names:
             if name in ignore_links:
                 continue
             cap = fit_capsule(tree, name, scale=scale, mesh_base_dir=str(config.get("meshBaseDir", "meshes")))
             if cap is not None:
+                if rscale != 1.0:
+                    cap = Capsule(cap.p0, cap.p1, cap.radius * rscale)
                 self.capsules[name] = cap
 
         # world geometry: oriented boxes fixed in world (capsules are a poor
@@ -238,7 +243,13 @@ class CollisionModel:
         # kinematic distance between links (fixed joints = distance 0)
         L = tree.num_links
         self._kin_dist = self._kinematic_distances()
-        max_kd = int(config.get("maxKinematicDistance", 0) or 0)
+        # reference key collisionMaxKinematicDistance
+        # (trajectoryOptimizer.py:646); maxKinematicDistance is this
+        # repo's earlier spelling, kept as a fallback
+        ckd = config.get("collisionMaxKinematicDistance", None)
+        max_kd = int(
+            (ckd if ckd is not None else config.get("maxKinematicDistance", 0)) or 0
+        )
 
         names = [n for n in tree.link_names if n in self.capsules]
         pairs = []

@@ -96,11 +96,19 @@ class TrajectoryObjective:
             self._att_rpy0 = self.suspended.find_equilibrium_rpy(
                 np.zeros(model.num_dofs)
             )
-        self.min_torque_util = (
-            float(config.get("minTorquePercentage", 0.1))
-            if config.get("minTorqueConstraint", 0)
-            else 0.0
-        )
+        # reference key: minTorqueUtilization (trajectoryOptimizer.py:135,
+        # hard constraint, default 0.02 in the reference configs); the
+        # minTorqueConstraint/minTorquePercentage pair is this repo's
+        # explicit-gate spelling and still works
+        mtu = config.get("minTorqueUtilization", None)
+        if mtu is not None:
+            self.min_torque_util = float(mtu)
+        else:
+            self.min_torque_util = (
+                float(config.get("minTorquePercentage", 0.1))
+                if config.get("minTorqueConstraint", 0)
+                else 0.0
+            )
         self.min_vel = (
             float(config.get("minVelocityPercentage", 0.1))
             if config.get("minVelocityConstraint", 0)

@@ -312,8 +312,14 @@ def optimize_trajectory(model, config, yty_prior=None, seeds=None, rng=None):
     limits = tuple(
         (float(lims[j]["lower"]), float(lims[j]["upper"])) for j in model.jointNames
     )
-    # bounded tanh mode guarantees position limits by construction
-    spec = FourierSpec(nf=nf, limits=limits)
+    # reference key trajectoryBounded (trajectoryOptimizer.py:70):
+    # bounded tanh mode guarantees position limits by construction.
+    # This repo defaults it ON (the reference defaults to the classic
+    # pulsed series) — classic mode still enforces position limits as
+    # hard constraints in the objective, so an explicit
+    # trajectoryBounded: 0 keeps reference behavior
+    bounded = bool(config.get("trajectoryBounded", 1))
+    spec = FourierSpec(nf=nf, limits=limits if bounded else None)
 
     # collision constraints (one per pair, reference
     # trajectoryOptimizer.py:340-437): periodic part at swung base

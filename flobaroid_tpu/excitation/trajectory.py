@@ -272,6 +272,8 @@ class FixedPositionTrajectory(Trajectory):
         self.num_dofs = int(config["num_dofs"])
         self.posture_time = float(config.get("staticPostureTime", 0.05))
         self.move_time = float(config.get("staticPostureMoveTime", 2.0))
+        # reference key (trajectory.py:161): hold-sample count per posture
+        self.samples_per = config.get("simulateStaticSamplesPerPosture", None)
 
     def initWithAngles(self, angles):
         """angles: list of per-posture joint vectors (rad)."""
@@ -287,7 +289,10 @@ class FixedPositionTrajectory(Trajectory):
             segs_v.append(vv)
             segs_a.append(aa)
             t_offset = segs_t[-1][-1] + 1.0 / freq
-            n_hold = max(int(self.posture_time * freq), 1)
+            n_hold = (
+                max(int(self.samples_per), 1) if self.samples_per
+                else max(int(self.posture_time * freq), 1)
+            )
             segs_t.append(t_offset + np.arange(n_hold) / freq)
             segs_q.append(np.tile(posture, (n_hold, 1)))
             segs_v.append(np.zeros((n_hold, self.num_dofs)))

@@ -499,7 +499,14 @@ class SDP:
                 rows.append(Wrow)
                 targets.append(Wrow @ np.asarray([m.xStdModel[p] for p in self.idable_params]))
             elif reg_mode == "geometric":
-                geo_terms = self._geometric_terms()
+                # reference key geometricObservabilityWeighting
+                # (sdp.py:379,413): scale each link's divergence by its
+                # parameters' observability — the reference's best
+                # walkman decomposition (geo+obs, analysis_findings.md)
+                gow = None
+                if opt.get("geometricObservabilityWeighting", 0):
+                    gow = self._observability_weights(R1_K)
+                geo_terms = self._geometric_terms(obs_w=gow)
             else:
                 p_nid = sorted(
                     set(m.non_id).difference(self.delete_cols).intersection(m.identified_params)

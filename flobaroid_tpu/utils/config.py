@@ -178,6 +178,28 @@ DEFAULTS: dict[str, Any] = {
     # (beyond the reference, which only checkpoints stage outputs)
     "trajectoryCheckpointFile": "",
     "jaxProfileDir": None,  # capture a JAX device profile of the estimation
+    # ---- remaining reference keys (wired round 2) ----
+    # None = "not set": code falls back to this repo's earlier spelling
+    # (maxKinematicDistance / minTorqueConstraint+minTorquePercentage)
+    "collisionMaxKinematicDistance": None,
+    "scaleCapsuleRadius": 1.0,  # capsule-mode radius scale (reference optimizer.py:538)
+    "minTorqueUtilization": None,  # hard per-joint torque-utilization floor
+    "simulateNumStops": 0,  # sudden stops inserted into the sampled trajectory
+    "staticPostures": None,  # explicit posture list -> played back directly
+    "simulateStaticSamplesPerPosture": None,  # hold samples per static posture
+    "trajectoryBounded": 1,  # tanh-bounded Fourier (0: classic pulsed series)
+    "geometricObservabilityWeighting": 0,  # geo prior x observability (geo+obs)
+}
+
+# Reference keys that configure machinery this rebuild replaced outright
+# (FD gradients + multiprocessing pools -> jax.grad; Optuna worker
+# processes -> vmapped candidate batches / shardCandidates; cvxpy solver
+# selection -> the in-repo barrier solver). Accepted and ignored, with a
+# one-line notice so nobody is silently surprised.
+OBSOLETE_REFERENCE_KEYS = {
+    "analyticalGradientEpsilon", "analyticalGradientJobs",
+    "useAnalyticalGradients", "globalOptJobs", "optunaSampler",
+    "localOptSensStep", "sdpSolver", "sdpSolverOptions",
 }
 
 
@@ -189,6 +211,12 @@ def load_config(path: str | None = None, overrides: dict | None = None) -> dict[
             loaded = yaml.safe_load(f) or {}
         if not isinstance(loaded, dict):
             raise ValueError(f"config {path} did not parse to a mapping")
+        obsolete = sorted(OBSOLETE_REFERENCE_KEYS.intersection(loaded))
+        if obsolete and loaded.get("verbose", cfg.get("verbose", 0)):
+            print(
+                "config: reference keys with no effect in this rebuild "
+                f"(superseded by autodiff/vmap/in-repo solver): {obsolete}"
+            )
         cfg.update(loaded)
     if overrides:
         cfg.update(overrides)

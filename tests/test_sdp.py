@@ -165,6 +165,23 @@ def test_sdp_geometric_mode_differs(arm):
     assert np.linalg.norm(xu - xg) > 1e-6
 
 
+def test_sdp_geometric_observability_weighting(arm):
+    """geometricObservabilityWeighting (reference sdp.py:379,413): the
+    geo+obs prior must produce a finite, consistent, optimal result
+    that differs from the unweighted geometric mode (it is the
+    reference's best-scoring walkman decomposition)."""
+    urdf, samples = arm
+    idf_g = run_sdp(urdf, samples, cadRegularizationMode="geometric")
+    idf_go = run_sdp(urdf, samples, cadRegularizationMode="geometric",
+                     geometricObservabilityWeighting=1)
+    xgo = idf_go._full_xstd()
+    assert np.all(np.isfinite(xgo))
+    assert idf_go.sdp.last_status == "optimal"
+    assert spatial_consistent(xgo, idf_go.model.num_links)
+    assert idf_go.res_error < 5.0
+    assert np.linalg.norm(idf_g._full_xstd() - xgo) > 1e-8
+
+
 def test_sdp_infeasible_apriori_recovers(arm, tmp_path):
     """Phase-I must recover when the a-priori URDF is physically
     inconsistent (negative-definite inertia on one link)."""

@@ -152,6 +152,32 @@ def test_optimize_trajectory_improves(arm_model):
     assert np.all(np.abs(np.asarray(V)) <= vl * 1.02)
 
 
+def test_optimize_trajectory_classic_mode(arm_model):
+    """trajectoryBounded: 0 (the reference's default, pulsed classic
+    series): the optimizer runs with an unbounded FourierSpec and the
+    position limits hold via the hard constraints instead of the tanh
+    squash."""
+    model, opt, _ = arm_model
+    cfg = dict(opt, trajectoryBounded=0, globalOptSize=16,
+               globalOptIterations=3, globalOptRestarts=1,
+               localOptIterations=1, localOptStages=3)
+    x, spec, obj, info = optimize_trajectory(model, cfg)
+    assert spec.limits is None  # classic parameterization
+    assert np.all(np.isfinite(x))
+    f, g, _ = obj.evaluate(x)
+    assert info["feasible"] == obj.feasible(g)
+    if info["feasible"]:
+        t = np.arange(int(50.0 * 2 * np.pi / x[0])) / 50.0
+        Q, _, _ = __import__("flobaroid_tpu.excitation.trajectory",
+                             fromlist=["fourier_traj"]).fourier_traj(
+            spec, jnp.asarray(x), t)
+        lims = model.limits
+        lo = np.array([lims[j]["lower"] for j in model.jointNames])
+        hi = np.array([lims[j]["upper"] for j in model.jointNames])
+        assert np.all(np.asarray(Q) >= lo - 1e-3)
+        assert np.all(np.asarray(Q) <= hi + 1e-3)
+
+
 def test_trajectory_cli_then_simulator(tmp_path):
     """trajectory.py -> simulator.py CLI chain produces contract files."""
     cfg = dict(

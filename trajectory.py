@@ -98,15 +98,26 @@ def main():
     traj_file = args.filename or (config["urdf"] + ".trajectory.npz")
     freq = float(config["excitationFrequency"])
 
-    if config.get("useStaticTrajectories", 0):
-        from flobaroid_tpu.excitation.posture import optimize_postures
+    explicit_postures = [
+        list(p[: model.num_dofs])
+        for p in (config.get("staticPostures") or [])
+        if len(p) >= model.num_dofs
+    ] if not config.get("floatingBase", 0) else []
+    if config.get("useStaticTrajectories", 0) or explicit_postures:
+        if explicit_postures and not config.get("useStaticTrajectories", 0):
+            # reference: a staticPostures list in the config is played
+            # back directly without posture optimization
+            # (reference trajectory.py:158-161)
+            angles = [np.asarray(p, dtype=float) for p in explicit_postures]
+        else:
+            from flobaroid_tpu.excitation.posture import optimize_postures
 
-        x_std_real = None
-        if args.model_real:
-            from flobaroid_tpu.models.urdf import load_urdf
+            x_std_real = None
+            if args.model_real:
+                from flobaroid_tpu.models.urdf import load_urdf
 
-            x_std_real = load_urdf(args.model_real).std_params()
-        angles = optimize_postures(model, config, x_std_real=x_std_real)
+                x_std_real = load_urdf(args.model_real).std_params()
+            angles = optimize_postures(model, config, x_std_real=x_std_real)
         from flobaroid_tpu.excitation.trajectory import FixedPositionTrajectory
 
         traj = FixedPositionTrajectory(config).initWithAngles(angles)
@@ -175,8 +186,12 @@ def main():
         V = np.concatenate([v_in, V, v_out])
         A = np.concatenate([a_in, A, a_out])
 
-    if config.get("simulateSuddenStops", 0):
-        Q, V, A = add_sudden_stops(times, Q, V, A, freq, num_stops=int(config.get("simulateSuddenStops", 3)))
+    # reference key: simulateNumStops (trajectory.py:126);
+    # simulateSuddenStops is this repo's earlier spelling
+    num_stops = int(config.get("simulateNumStops", 0)
+                    or config.get("simulateSuddenStops", 0) or 0)
+    if num_stops:
+        Q, V, A = add_sudden_stops(times, Q, V, A, freq, num_stops=num_stops)
 
     wf, q0, a_list, b_list = spec.ragged(x)
     save = {
