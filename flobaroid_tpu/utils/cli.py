@@ -68,7 +68,7 @@ def enable_compilation_cache() -> None:
 def base_parser(description: str) -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=description)
     p.add_argument("--config", required=True, help="YAML configuration file")
-    p.add_argument("--model", required=True, help="robot URDF model file")
+    p.add_argument("-m", "--model", required=True, help="robot URDF model file")
     p.add_argument("--regressor", help="regressor XML with joint name ordering")
     return p
 

@@ -21,9 +21,11 @@ def main():
     p = base_parser("Identify dynamics parameters from measurements")
     p.add_argument("--measurements", action="append", nargs="+", required=True,
                    help="measurements npz file(s), repeatable")
-    p.add_argument("--validation", help="measurements npz for validation")
+    p.add_argument("--validation", "--verification", "--verify",
+                   help="measurements npz for validation")
     p.add_argument("--model_real", help="URDF with ground-truth params (simulation)")
-    p.add_argument("--model_output", help="write identified URDF here")
+    p.add_argument("-o", "--model_output", "--output",
+                   help="write identified URDF here")
     p.add_argument("--trajectory", help="trajectory npz (for unobservable params)")
     p.add_argument("--plot", action="store_true", help="create plots")
     args = p.parse_args()
