@@ -37,22 +37,12 @@ from .models.geometry import (
     resolve_mesh_path,
 )
 from .models.urdf import RobotTree
+from .models.urdf import rpy_to_matrix as _rpy_to_matrix
 
 
 # ----------------------------------------------------------------------
 # vertex clouds per link
 # ----------------------------------------------------------------------
-def _rpy_to_matrix(rpy):
-    r, p, y = rpy
-    cr, sr = np.cos(r), np.sin(r)
-    cp, sp = np.cos(p), np.sin(p)
-    cy, sy = np.cos(y), np.sin(y)
-    Rz = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]])
-    Ry = np.array([[cp, 0, sp], [0, 1, 0], [-sp, 0, cp]])
-    Rx = np.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]])
-    return Rz @ Ry @ Rx
-
-
 _SPHERE_DIRS = None
 
 
@@ -70,7 +60,8 @@ def _sphere_dirs():
         mids = []
         for i in range(len(v)):
             for j in range(i + 1, len(v)):
-                if np.dot(v[i], v[j]) > 0.7:
+                # adjacent icosahedron vertices have dot 1/sqrt(5) ~ 0.447
+                if np.dot(v[i], v[j]) > 0.3:
                     m = v[i] + v[j]
                     mids.append(m / np.linalg.norm(m))
         _SPHERE_DIRS = np.concatenate([v, np.asarray(mids)]) if mids else v
@@ -511,7 +502,12 @@ class MeshCollisionVerifier:
                 np.eye(4) if lb is None
                 else _nm.mesh_from_transform(Rw[s, lb], pw[s, lb])
             )
-            best = min(best, _nm.distance(ma, Ta, mb, Tb) - margin)
+            d = _nm.distance(ma, Ta, mb, Tb)
+            if d > 0 and _nm.contained(ma, Ta, mb, Tb):
+                # surface distance cannot see one body fully inside the
+                # other (no surface crossing) — containment IS contact
+                d = 0.0
+            best = min(best, d - margin)
             if best <= 0:
                 break
         return best

@@ -65,6 +65,10 @@ class Data:
         self.num_loaded_samples = 0
         self.num_used_samples = 0
         self.inited = False
+        # set by Model.computeRegressors after it writes the contact
+        # contribution into the base-wrench torque rows (guards a second
+        # pass over the same Data from adding contacts twice)
+        self.contacts_in_torques = False
         # block selection state
         self.block_pos = 0
         self.blocks: list[dict] = []
@@ -148,6 +152,7 @@ class Data:
 
     def _use_all(self) -> None:
         self.samples = self.measurements
+        self.contacts_in_torques = False  # fresh measurement torques
         self.num_loaded_samples = self.measurements["positions"].shape[0]
         self.num_used_samples = self.num_loaded_samples // (int(self.opt["skipSamples"]) + 1)
 

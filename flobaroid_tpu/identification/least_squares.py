@@ -72,9 +72,14 @@ def _eig_trunc_solve(G, g, rank):
     SVD solution V_r S_r^{-1} U_r^T b equals V_r S_r^{-2} V_r^T g."""
     lam, V = np.linalg.eigh(G)  # ascending
     rank = int(min(rank, len(lam)))
-    lam_r = np.maximum(lam[-rank:], np.finfo(float).tiny)
+    lam_r = lam[-rank:]
     V_r = V[:, -rank:]
-    return V_r @ ((V_r.T @ g) / lam_r)
+    # f32-accumulated Grams carry O(1e-7*trace) eigenvalue noise: a
+    # top-rank eigenvalue pushed near/below zero must be TRUNCATED
+    # (zero contribution), not divided by a denormal
+    floor = max(float(lam[-1]), 0.0) * 1e-10
+    coef = np.where(lam_r > floor, (V_r.T @ g) / np.maximum(lam_r, floor), 0.0)
+    return V_r @ coef
 
 
 def std_direct_gram(G_std, g_tau, num_base_params, xStdModel_id=None):

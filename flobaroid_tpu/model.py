@@ -262,6 +262,13 @@ class Model:
             BR = np.asarray(rpy_to_base_rot(jnp.asarray(rpy)))
             BV = np.asarray(samples["base_velocity"])[idx]
             BA = np.asarray(samples["base_acceleration"])[idx]
+            if opt["identifyGravityParamsOnly"]:
+                # gravity-only is a statics assumption: zero base motion
+                # too, so the dropped inertia columns truly contribute
+                # nothing (keeps the streamed Y_id @ x_id simulation
+                # identical to the materialized Yin @ pi path)
+                BV = np.zeros_like(BV)
+                BA = np.zeros_like(BA)
         return Q, V, A, BR, BV, BA
 
     def _friction_columns(self, samples: dict, idx: np.ndarray, V: np.ndarray):
@@ -433,13 +440,18 @@ class Model:
         if fb:
             if opt["simulateTorques"]:
                 torq = torq + contacts_sum
-            else:
+            elif not getattr(data, "contacts_in_torques", False):
+                # guard against re-entry: computeRegressors may run twice
+                # on the same Data (block-selection scoring + estimation)
+                # and the contact contribution is written back below
                 torq[:, :6] += contacts_sum[:, :6]
 
         self.torques_stack = torq.reshape(-1)
         self.torquesAP_stack = sim.reshape(-1) if (sim is not None and opt["useAPriori"]) else np.zeros_like(self.torques_stack)
         if num_contacts or opt["simulateTorques"]:
             data.samples["torques"] = torq
+            if num_contacts and not opt["simulateTorques"]:
+                data.contacts_in_torques = True
 
         self.tau = (
             self.torques_stack - self.torquesAP_stack

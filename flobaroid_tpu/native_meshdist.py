@@ -77,6 +77,10 @@ def _lib() -> ctypes.CDLL | None:
                         ctypes.c_void_p, ctypes.POINTER(ctypes.c_double),
                         ctypes.c_void_p, ctypes.POINTER(ctypes.c_double),
                     ]
+                _LIB.md_inside.restype = ctypes.c_int
+                _LIB.md_inside.argtypes = [
+                    ctypes.c_void_p, ctypes.POINTER(ctypes.c_double)
+                ]
         return _LIB
 
 
@@ -92,6 +96,9 @@ class NativeMesh:
         if lib is None:
             raise RuntimeError("native meshdist library unavailable")
         self._lib = lib
+        # an actual surface vertex (mesh frame): guaranteed to lie inside
+        # any mesh that fully contains this one (containment queries)
+        self.surface_point = np.asarray(vertices, dtype=np.float64)[0].copy()
         v = np.ascontiguousarray(vertices, dtype=np.float64)
         t = np.ascontiguousarray(triangles, dtype=np.int32)
         if v.ndim != 2 or v.shape[1] != 3 or t.ndim != 2 or t.shape[1] != 3:
@@ -130,6 +137,30 @@ def distance(a: NativeMesh, Ta, b: NativeMesh, Tb, brute: bool = False) -> float
         a._handle, Ta16.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         b._handle, Tb16.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
     ))
+
+
+def contains_point(m: NativeMesh, T, point_world) -> bool:
+    """Ray-parity containment of a world-frame point in the transformed
+    (approximately closed) mesh. Surface distance cannot see full
+    containment — the role FCL's signed queries would play."""
+    T = np.asarray(_t16(T)).reshape(4, 4)
+    p_local = T[:3, :3].T @ (np.asarray(point_world, float) - T[:3, 3])
+    p = np.ascontiguousarray(p_local, dtype=np.float64)
+    return bool(m._lib.md_inside(
+        m._handle, p.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+    ))
+
+
+def contained(a: NativeMesh, Ta, b: NativeMesh, Tb) -> bool:
+    """True when a surface point of one mesh lies inside the other —
+    the containment case a positive surface-to-surface distance hides."""
+    Ta4 = np.asarray(_t16(Ta)).reshape(4, 4)
+    Tb4 = np.asarray(_t16(Tb)).reshape(4, 4)
+    pa_world = Ta4[:3, :3] @ a.surface_point + Ta4[:3, 3]
+    if contains_point(b, Tb4, pa_world):
+        return True
+    pb_world = Tb4[:3, :3] @ b.surface_point + Tb4[:3, 3]
+    return contains_point(a, Ta4, pb_world)
 
 
 def mesh_from_transform(T_rot: np.ndarray | None, pos: np.ndarray | None) -> np.ndarray:

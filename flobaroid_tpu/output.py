@@ -360,10 +360,9 @@ class OutputMatplotlib:
             )
         return html
 
-    def render(self, filename: str | None = None) -> str:
+    def _svg_html(self) -> str:
         import matplotlib.pyplot as plt
 
-        opt = self.idf.opt
         parts = [
             "<!DOCTYPE html><html><head><meta charset='utf-8'>",
             "<title>flobaroid_tpu identification report</title>",
@@ -383,14 +382,19 @@ class OutputMatplotlib:
             parts.append(self.text.replace("<", "&lt;"))
             parts.append("</pre>")
         parts.append("</body></html>")
-        html = "\n".join(parts)
+        return "\n".join(parts)
+
+    def render(self, filename: str | None = None) -> str:
+        opt = self.idf.opt
         out = filename or opt.get("outputFilename") or "output.html"
+        html = None
         if opt.get("outputAs", "html") == "html":
             # interactive plotly report when available, SVG fallback
-            # (reference output.py:775-805 plotly-offline semantics)
-            phtml = self._plotly_html()
-            if phtml is not None:
-                html = phtml
+            # (reference output.py:775-805 plotly-offline semantics);
+            # the matplotlib figure set is only built when actually used
+            html = self._plotly_html()
+            if html is None:
+                html = self._svg_html()
             with open(out, "w") as f:
                 f.write(html)
             print(f"Saved report to {out}")
@@ -399,6 +403,7 @@ class OutputMatplotlib:
             self.render_tikz(tex_out)
         elif opt.get("outputAs") == "pdf":
             # PDF via matplotlib's PdfPages
+            import matplotlib.pyplot as plt
             from matplotlib.backends.backend_pdf import PdfPages
 
             pdf_out = out if out.endswith(".pdf") else out.rsplit(".", 1)[0] + ".pdf"

@@ -86,12 +86,18 @@ def main():
         m.computeRegressors(idf.data)
         rows_per = m.num_dofs + m.fb
         skip = int(config["skipSamples"]) + 1
-        bs_used = max(int(config["blockSize"]) // skip, 1)
+        bs = int(config["blockSize"])
         n_blocks = idf.data.num_blocks()
         conds, link_conds, grams = [], [], []
         for b in range(n_blocks):
-            r0 = b * bs_used * rows_per
-            r1 = min((b + 1) * bs_used * rows_per, m.YBase.shape[0])
+            # used sample u covers raw index u*skip: raw block
+            # [b*bs, (b+1)*bs) maps to used [ceil(b*bs/skip),
+            # ceil((b+1)*bs/skip)) — a floor-divided block length
+            # drifts ~b*(bs mod skip)/skip samples by block b
+            u0 = -(-(b * bs) // skip)
+            u1 = -(-((b + 1) * bs) // skip)
+            r0 = u0 * rows_per
+            r1 = min(u1 * rows_per, m.YBase.shape[0])
             Yb = m.YBase[r0:r1]
             conds.append(float(np.linalg.cond(Yb)) if len(Yb) else 1e16)
             grams.append(Yb.T @ Yb)

@@ -479,6 +479,50 @@ double md_distance(const void* a, const double* Ta, const void* b,
   return std::sqrt(std::max(0.0, q.best2));
 }
 
+// Moller-Trumbore ray/triangle intersection with t > eps.
+static bool rayTri(Vec3 o, Vec3 d, const Tri& t) {
+  const double EPS = 1e-12;
+  Vec3 e1 = t.b - t.a, e2 = t.c - t.a;
+  Vec3 p = cross(d, e2);
+  double det = dot(e1, p);
+  if (std::abs(det) < EPS) return false;
+  double inv = 1.0 / det;
+  Vec3 s = o - t.a;
+  double u = dot(s, p) * inv;
+  if (u < 0 || u > 1) return false;
+  Vec3 q = cross(s, e1);
+  double v = dot(d, q) * inv;
+  if (v < 0 || u + v > 1) return false;
+  double tt = dot(e2, q) * inv;
+  return tt > EPS;
+}
+
+int md_inside(const void* handle, const double* point3) {
+  // Ray-crossing parity along three axes with a majority vote (soup
+  // meshes can carry coincident internal faces; an identical duplicated
+  // pair flips parity twice and cancels, near-degenerate hits are
+  // outvoted). Meaningful for (approximately) closed meshes — exactly
+  // the case that matters: surfaces that can contain another body.
+  const Mesh* M = static_cast<const Mesh*>(handle);
+  if (!M || !point3) return 0;
+  Vec3 p{point3[0], point3[1], point3[2]};
+  // generic (irrational-ish) directions + a tiny per-ray origin jitter:
+  // axis-aligned rays from symmetric points hit shared triangle edges
+  // and double-count crossings
+  const Vec3 dirs[3] = {{0.4120338, 0.5370861, 0.7364747},
+                        {0.8612910, -0.2901285, 0.4170294},
+                        {-0.1330587, 0.6280424, -0.7667344}};
+  int votes = 0;
+  for (const Vec3& d : dirs) {
+    Vec3 o = p + 1e-7 * Vec3{d.y, d.z, d.x};
+    int c = 0;
+    for (const Tri& t : M->tris)
+      if (rayTri(o, d, t)) c++;
+    votes += (c & 1);
+  }
+  return votes >= 2 ? 1 : 0;
+}
+
 double md_distance_brute(const void* a, const double* Ta, const void* b,
                          const double* Tb) {
   const Mesh* A = static_cast<const Mesh*>(a);

@@ -186,6 +186,18 @@ def test_native_meshdist_distances():
             nm.distance(M1, I4, M2, I4) - nm.distance(M1, I4, M2, I4, brute=True)
         ) < 1e-9
 
+    # full containment: surface distance is positive but contained()
+    # must flag it (the case surface-to-surface queries cannot see)
+    vs, ts = box_triangles((0, 0, 0), (0.1, 0.1, 0.1), np.eye(3))
+    S = nm.NativeMesh(vs, ts)
+    assert nm.distance(A, I4, S, I4) > 0.3  # inner surface 0.4 m away
+    assert nm.contained(A, I4, S, I4)
+    assert nm.contained(S, I4, A, I4)
+    assert not nm.contained(A, I4, B, T([2, 0, 0]))
+    # point queries
+    assert nm.contains_point(A, I4, [0.0, 0.0, 0.0])
+    assert not nm.contains_point(A, I4, [0.9, 0.0, 0.0])
+
 
 CHANNEL_URDF = """<robot name="channel">
   <link name="channel">
@@ -227,6 +239,44 @@ def channel(tmp_path):
     tree = load_urdf(str(p))
     eng = DynamicsEngine(tree)
     return tree, eng
+
+
+WORLD_URDF = """<robot name="room">
+  <link name="cage">
+    <inertial><mass value="100"/><inertia ixx="1" iyy="1" izz="1" ixy="0" ixz="0" iyz="0"/></inertial>
+    <visual><origin xyz="0 0 0.2"/><geometry><box size="2.0 2.0 2.0"/></geometry></visual>
+  </link>
+</robot>
+"""
+
+
+def test_full_mode_rejects_containment(channel, tmp_path):
+    """A link fully INSIDE a world obstacle has positive
+    surface-to-surface triangle distance — the narrowphase must not
+    un-flag the hull tier's (correct) verdict (ray-parity containment
+    check)."""
+    nm = pytest.importorskip("flobaroid_tpu.native_meshdist")
+    if not nm.available():
+        pytest.skip("native toolchain unavailable")
+    tree, eng = channel
+    wp = tmp_path / "room.urdf"
+    wp.write_text(WORLD_URDF)
+    world = load_urdf(str(wp))
+    base = dict(
+        checkCollisions=1, scaleCollisionHull=1.0, meshBaseDir="meshes",
+        maxKinematicDistance=0,
+    )
+    cm = CollisionModel(tree, eng, dict(base, collisionMode="capsule"),
+                        world_tree=world)
+    assert ("bar", "cage") in cm.world_pairs
+    full = MeshCollisionVerifier(
+        tree, eng, dict(base, collisionMode="full"), cm, world_tree=world
+    )
+    # q2 = pi/2: the bar sits in the channel cavity — and entirely
+    # inside the 2 m world cage
+    ok, bad = full.verify(np.array([[0.0, np.pi / 2]]))
+    assert not ok
+    assert ("bar", "cage") in [p for p, _ in bad]
 
 
 def test_full_mode_accepts_concave_clearance(channel):
