@@ -239,6 +239,11 @@ class Data:
         grav_norm = _np.mean(_np.linalg.norm(lin_acc_w, axis=1))
         if grav_norm < 9.81 or grav_norm > 9.82:
             print(f"Warning: mean base acceleration differs from gravity ({grav_norm})!")
+        # reference-parity gravity handling (reference data.py:570): the
+        # constant is later removed again by the unconditional mean
+        # subtraction below ("includes wrong gravity offset and other
+        # static offsets" per the reference's own comment) — kept for
+        # behavioral parity, the mean removal is what actually matters
         lin_acc_w -= _np.array([0, 0, -9.81])
 
         if self.opt["waitForZeroAcc"]:
@@ -262,7 +267,13 @@ class Data:
             axis=1,
         )
         lin_vel -= _np.mean(lin_vel, axis=0)
-        rot_acc = _np.stack([_np.gradient(rot_vel_w[:, j]) for j in range(3)], axis=1)
+        # differentiate w.r.t. TIME: the reference passes no sample
+        # coordinates to np.gradient (data.py:606), scaling rotational
+        # acceleration by dt (~1/fs, 200x too small at 200 Hz) — a
+        # reference bug, fixed here
+        rot_acc = _np.stack(
+            [_np.gradient(rot_vel_w[:, j], T) for j in range(3)], axis=1
+        )
 
         s["base_rpy"] = rpy
         s["base_velocity"] = _np.concatenate([lin_vel, rot_vel_w], axis=1)

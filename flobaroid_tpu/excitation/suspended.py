@@ -98,7 +98,7 @@ class SuspendedSimulator:
         v_r = v_a - (mask[self.att] * dq) @ s
         return R_wr, pw, p_a, s, mask, v_r
 
-    def _moment_about_attachment(self, q, dq, ddq, R_wr, v_r, p_a, alpha, s, mask, v_series_needed=False):
+    def _moment_about_attachment(self, q, dq, ddq, R_wr, v_r, p_a, alpha, s, mask):
         """Inverse dynamics with attachment angular acceleration `alpha`;
         returns the moment of the required wrench about the attachment."""
         eng = self.engine

@@ -227,7 +227,10 @@ class SDP:
 
         if opt["identifyGravityParamsOnly"]:
             for i in range(start_link, m.num_links):
-                if i * 10 not in self.delete_cols and i not in pinned_links:
+                # a pinned mass (auto-pinned massless virtual link) would
+                # fold to a constant 0 <= -eps row: always infeasible
+                if (i * 10 not in self.delete_cols and i not in pinned_links
+                        and i * 10 not in pinned):
                     add_le([(-1.0, i * 10)], -self.epsilon_safemargin)
 
         robotmass_apriori = float(sum(m.xStdModel[i * 10] for i in range(m.num_links)))
@@ -237,7 +240,13 @@ class SDP:
                     sum(m.xStdModel[i * 10] for i in range(start_link))
                 )
             else:
-                maxmass = robotmass_apriori
+                # the summed terms start at start_link, so the deleted
+                # base link's a-priori mass must leave the bound too
+                # (else the a-priori point itself violates the lower
+                # bound whenever base mass > limitMassRange)
+                maxmass = robotmass_apriori - float(
+                    sum(m.xStdModel[i * 10] for i in range(start_link))
+                )
             terms = [(1.0, i * 10) for i in range(start_link, m.num_links)]
             add_le(terms, maxmass + float(opt["limitMassRange"]))
             add_le([(-c, p) for c, p in terms], -(maxmass - float(opt["limitMassRange"])))
@@ -310,6 +319,11 @@ class SDP:
                 if opt["identifyGravityParamsOnly"] and (
                     a in set(m.inertia_params) or b in set(m.inertia_params)
                 ):
+                    continue
+                if a not in self.pos_in_free and b not in self.pos_in_free:
+                    # both pinned: folds to a constant row that is
+                    # infeasible whenever the a-priori values break the
+                    # symmetry — no decision variable is involved
                     continue
                 add_le([(1.0, a), (-sign, b)], tol)
                 add_le([(-1.0, a), (sign, b)], tol)
@@ -438,9 +452,17 @@ class SDP:
             Wj = jnp.asarray(W)
 
             def D(x, Pmap=Pmap, Wj=Wj):
+                # the 6x6 spatial-inertia cone does NOT imply the 4x4
+                # pseudo-inertia is PD (triangle inequality on the
+                # rotational inertia is not enforced), so Q can go
+                # indefinite inside the feasible set — an indefinite Q
+                # must read as a large penalty, not trace - log|det|
+                # (which would REWARD it); the barrier line search then
+                # steps around the region
                 Q = Wj @ Pmap(x) @ Wj
                 sign, logdet = jnp.linalg.slogdet(Q)
-                return jnp.trace(Q) - logdet - 4.0
+                val = jnp.trace(Q) - logdet - 4.0
+                return jnp.where(sign > 0, val, 1e6)
 
             w = base
             if obs_w is not None:
@@ -523,7 +545,11 @@ class SDP:
 
         lam_f = float(opt.get("frictionRegularization", 0))
         if lam_f > 0 and opt["identifyFrictionSimultaneously"]:
-            fidx = [p for p in self.idable_params if p >= m.friction_params_start]
+            # friction columns live at full-parameter indices >=
+            # num_model_params (friction_params_start is an
+            # IDENTIFIED-space offset and shrinks in gravity-only mode,
+            # where it would wrongly match inertial params here)
+            fidx = [p for p in self.idable_params if p >= m.num_model_params]
             if fidx:
                 l_f = lam_f * np.sqrt(base_error / max(len(fidx), 1))
                 Wrow = np.zeros((len(fidx), len(self.idable_params)))
@@ -554,19 +580,22 @@ class SDP:
                 )
             scale = np.sqrt(max(rho2, 0.0)) if rho2 > 0 else 1.0
 
-        Cj = jnp.asarray(C_free / scale)
-        dj = jnp.asarray(d_eff / scale)
-
-        def objective(x):
-            e = Cj @ x - dj
-            val = jnp.dot(e, e)
-            for w, D in geo_terms:
-                val = val + w * D(x)
-            return val
-
         if opt.get("checkAPrioriFeasibility"):
-            self.checkFeasibility(m.xStdModel)
+            ok = self.checkFeasibility(m.xStdModel)
+            print(f"a-priori parameters are "
+                  f"{'feasible' if ok else 'INFEASIBLE'} for the "
+                  f"consistency constraints")
         if geo_terms:
+            Cj = jnp.asarray(C_free / scale)
+            dj = jnp.asarray(d_eff / scale)
+
+            def objective(x):
+                e = Cj @ x - dj
+                val = jnp.dot(e, e)
+                for w, D in geo_terms:
+                    val = val + w * D(x)
+                return val
+
             prob = conic.BarrierProblem(
                 objective=objective,
                 A=self.A,
