@@ -135,6 +135,12 @@ class TrajectoryObjective:
         fric = bool(self.config["identifyFrictionSimultaneously"])
         sign_thresh = float(self.config.get("frictionSignThreshold", 0.02))
         sym = bool(self.config["identifySymmetricVelFriction"])
+        grav_only = bool(self.config["identifyGravityParamsOnly"])
+        stribeck_v = float(self.config.get("stribeckVelocity", 0) or 0)
+        keep_grav = (
+            jnp.asarray([p for p in range(10 * self.model.num_links) if p % 10 < 4])
+            if grav_only else None
+        )
         yty_prior = (
             jnp.asarray(self.yty_prior, dt) if self.yty_prior is not None else None
         )
@@ -178,23 +184,41 @@ class TrajectoryObjective:
                 Y = eng.regressor_batch(Q, V, A, BR, BV, BA)
             else:
                 Y = eng.regressor_batch(Q, V, A)
+            # torques from the FULL inertial block (before any
+            # gravity-only column subsetting)
+            tau = jnp.einsum(
+                "nrp,p->nr", Y[:, :, : pi.shape[0]], pi,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            if grav_only:
+                Y = Y[:, :, keep_grav]
             if fric:
-                blocks = [jnp.tanh(V / sign_thresh)[:, None, :] * jnp.eye(nd, dtype=dt)]
-                if sym:
-                    blocks.append(V[:, None, :] * jnp.eye(nd, dtype=dt))
-                else:
-                    blocks.append(jnp.where(V > 0, V, 0)[:, None, :] * jnp.eye(nd, dtype=dt))
-                    blocks.append(jnp.where(V < 0, V, 0)[:, None, :] * jnp.eye(nd, dtype=dt))
-                blocks.append(jnp.broadcast_to(jnp.eye(nd, dtype=dt), V.shape[:1] + (nd, nd)))
+                # smooth (differentiable) mirror of the model's
+                # identified-column layout (model._friction_block_names):
+                # Fc [, Fv(|±), off [, Fs]] — gravity-only keeps Fc only.
+                # Column COUNT must match Pb's rows exactly
+                sgn = jnp.tanh(V / sign_thresh)
+                eye = jnp.eye(nd, dtype=dt)
+                blocks = [sgn[:, None, :] * eye]
+                if not grav_only:
+                    if sym:
+                        blocks.append(V[:, None, :] * eye)
+                    else:
+                        blocks.append(jnp.where(V > 0, V, 0)[:, None, :] * eye)
+                        blocks.append(jnp.where(V < 0, V, 0)[:, None, :] * eye)
+                    blocks.append(
+                        jnp.broadcast_to(eye, V.shape[:1] + (nd, nd))
+                    )
+                    if stribeck_v > 0:
+                        blocks.append(
+                            (jnp.exp(-jnp.abs(V) / stribeck_v) * sgn)[:, None, :] * eye
+                        )
                 F = jnp.concatenate(blocks, axis=2)
                 if fbr:
                     F = jnp.concatenate([jnp.zeros((F.shape[0], fbr, F.shape[2]), dt), F], axis=1)
                 Y = jnp.concatenate([Y, F], axis=2)
             P = Y.shape[-1]
             Yf = Y.reshape(-1, P)
-            tau = jnp.einsum(
-                "nrp,p->nr", Y[:, :, : pi.shape[0]], pi, precision=jax.lax.Precision.HIGHEST
-            )
             YB = Yf @ Pb
             G = jnp.einsum("mp,mq->pq", YB, YB, precision=jax.lax.Precision.HIGHEST)
             if yty_prior is not None:
@@ -272,7 +296,11 @@ class TrajectoryObjective:
             neg_logdet, f1, f2, f3, f4, g, n_obs = raw(x)
             f = neg_logdet * dopt_scale + 10.0 * (f1 + f3 + f4) + 10.0 * f2
             f = jnp.where(jnp.isfinite(f), f, 1e4)
-            g = jnp.where(jnp.isfinite(g), g, 10.0)
+            # preserve the SIGN of infinite constraint values: a joint
+            # without a URDF limit yields vel_absmax - inf = -inf, an
+            # infinitely-SATISFIED constraint — mapping it to +10 marked
+            # every candidate infeasible for limit-less robots
+            g = jnp.where(jnp.isnan(g), 10.0, jnp.clip(g, -1e6, 1e6))
             return f, g, n_obs
 
         self._evaluate = jax.jit(evaluate)

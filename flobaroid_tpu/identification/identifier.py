@@ -176,17 +176,21 @@ class Identification:
         return p
 
     # ------------------------------------------------------------------
-    def identifyBaseParameters(self, YBase=None, tau=None, id_only=False) -> None:
+    def identifyBaseParameters(self, YBase=None, tau=None, id_only=False,
+                               contact_forces=None) -> None:
         """OLS then optional WLS re-solve (reference identifier.py:683-790)."""
         opt = self.opt
         m = self.model
+        custom_system = YBase is not None
         if YBase is None:
             YBase = m.YBase
         if tau is None:
             tau = m.tau
 
         if opt["useBasisProjection"]:
-            m.xBaseModel = m.xStdModel[m.identified_params] @ m.B
+            # Binv (= pinv(B)) — B.T only equals it for an orthonormal
+            # basis; xBaseReal below uses Binv, keep both consistent
+            m.xBaseModel = m.Binv @ m.xStdModel[m.identified_params]
         else:
             m.xBaseModel = m.K @ m.xStdModel[m.identified_params]
         if self.xStdReal is not None:
@@ -218,9 +222,12 @@ class Identification:
             )[0]
         else:
             m.xBase = np.linalg.lstsq(YBase, tau, rcond=rcond)[0]
-            cf = getattr(self, "_bw_contactForcesSum", m.contactForcesSum)
-            if cf is not None and cf.shape[0] != YBase.shape[0]:
-                cf = m.contactForcesSum
+            if contact_forces is not None:
+                cf = contact_forces
+            else:
+                cf = getattr(self, "_bw_contactForcesSum", m.contactForcesSum)
+                if cf is not None and cf.shape[0] != YBase.shape[0]:
+                    cf = m.contactForcesSum
             if cf is not None and np.any(cf):
                 m.xBase -= np.linalg.pinv(YBase) @ cf
 
@@ -242,9 +249,17 @@ class Identification:
             # above — recomputing it here costs a full streamed
             # re-contraction at 30 DOF.)
             self.p_sigma_x = self.getStdDevForParams()
-            res = (m.tauMeasured - self.tauEstimated).reshape(
-                self.data.num_used_samples, m.num_dofs + m.fb
-            )
+            if custom_system:
+                # weight the SYSTEM that was passed in (e.g. Ayusawa
+                # base-wrench rows): its channels and residuals, not the
+                # full-row ones — the re-solve below reuses it too
+                res = np.asarray(tau - YBase @ m.xBase).reshape(
+                    self.data.num_used_samples, -1
+                )
+            else:
+                res = (m.tauMeasured - self.tauEstimated).reshape(
+                    self.data.num_used_samples, m.num_dofs + m.fb
+                )
             sigma_ch = np.sqrt(np.mean(res**2, axis=0))
             w_ch = 1.0 / np.maximum(sigma_ch, 1e-12)
             if m.YBase is None:
@@ -260,17 +275,34 @@ class Identification:
                 # residual/σ computations are physical
                 m._set_streaming_aggregates(np.ones_like(w_ch))
                 return
-            # solve on WEIGHTED COPIES: m.YBase/m.tau stay in the
+            # solve on WEIGHTED COPIES: the originals stay in the
             # measurement metric so later residuals/plots are physical
             # (round-1 bug: in-place reweighting leaked into
-            # estimateRegressorTorques)
+            # estimateRegressorTorques). The contact correction for
+            # W(Yx) = W(tau - cf) needs the WEIGHTED cf
             W = np.tile(w_ch, self.data.num_used_samples)
-            self.identifyBaseParameters(m.YBase * W[:, None], m.tau * W, id_only=True)
+            if custom_system:
+                cf_sys = getattr(self, "_bw_contactForcesSum", None)
+                if cf_sys is not None and cf_sys.shape[0] != YBase.shape[0]:
+                    cf_sys = None
+            else:
+                cf_sys = m.contactForcesSum
+            self.identifyBaseParameters(
+                np.asarray(YBase) * W[:, None], np.asarray(tau) * W,
+                id_only=True,
+                contact_forces=None if cf_sys is None else np.asarray(cf_sys) * W,
+            )
 
     def _extractBaseWrenchRows(self):
         """Ayusawa base-wrench-only equations + optional per-file inverse
         noise weighting (reference identifier.py:617-681)."""
         m = self.model
+        if m.YStd is None:
+            raise ValueError(
+                "useBaseWrenchForBaseParams needs the stacked regressor "
+                "(set materializeRegressor=1): the base-wrench row subset "
+                "cannot be sliced from streamed Grams"
+            )
         nd, fb = m.num_dofs, 6
         block = nd + fb
         N = self.data.num_used_samples
@@ -612,8 +644,12 @@ class Identification:
             v = {k: f[k] for k in f.files}
         m = self.model
         params = self.model.xStdModel if self.opt["estimateWith"] == "urdf" else self._full_xstd()
-        skip = 8 + 1
-        N = v["positions"].shape[0] // skip
+        # the reference pins validation subsampling to skipSamples=8
+        # regardless of the config (reference identifier.py:271-272);
+        # short validation files fall back to using every sample
+        total = v["positions"].shape[0]
+        skip = 8 + 1 if total >= 9 else 1
+        N = total // skip
         idx = np.arange(N) * skip
         sim = m.simulate_dynamics(v, idx, params)
         tauM = np.asarray(v["torques"])[idx]

@@ -414,8 +414,11 @@ class Model:
                 sim[:, fb:] += self.friction_torques(samples, idx, self.xStdModel)
                 sim = np.nan_to_num(sim)
 
-        # measured torques
-        torq = np.array(np.asarray(samples["torques"])[idx])
+        # measured torques. A previous computeRegressors pass may have
+        # written back a SUBSAMPLED (N_used, rows) array (reference
+        # model.py:583 does the same) — detect and use it directly
+        tq_arr = np.asarray(samples["torques"])
+        torq = np.array(tq_arr if tq_arr.shape[0] == N else tq_arr[idx])
         if opt["simulateTorques"]:
             torq = sim.copy()
         elif fb and torq.shape[1] < rows:

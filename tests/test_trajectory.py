@@ -152,6 +152,37 @@ def test_optimize_trajectory_improves(arm_model):
     assert np.all(np.abs(np.asarray(V)) <= vl * 1.02)
 
 
+def test_objective_matches_model_layout_with_stribeck(arm_model):
+    """The objective's friction-column layout must track the model's
+    identified-column count (Pb rows): stribeckVelocity adds an Fs
+    block that was previously missing -> shape mismatch on the first
+    evaluation."""
+    from flobaroid_tpu.excitation.objective import TrajectoryObjective
+    from flobaroid_tpu.excitation.optimizer import initial_candidate
+    from flobaroid_tpu.model import Model
+    from flobaroid_tpu.utils.config import load_config
+    import os
+
+    REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+    urdf = os.path.join(REPO, "examples", "models", "sevenlink_arm.urdf")
+    opt = load_config(None, overrides=dict(
+        floatingBase=0, useStructuralRegressor=1, randomSamples=500,
+        identifyFrictionSimultaneously=1, identifySymmetricVelFriction=1,
+        stribeckVelocity=0.1, computeDtype="float64",
+        trajectoryDefaultNf=2, verbose=0,
+    ))
+    model = Model(dict(opt), urdf)
+    nf = tuple([2] * model.num_dofs)
+    lims = model.limits
+    spec = FourierSpec(nf=nf, limits=tuple(
+        (lims[j]["lower"], lims[j]["upper"]) for j in model.jointNames))
+    obj = TrajectoryObjective(model, dict(opt), spec, dtype=jnp.float64)
+    x0 = initial_candidate(spec, opt, np.random.default_rng(3))
+    obj.calibrate_scale(x0)
+    f, g, n_obs = obj.evaluate(x0)
+    assert np.isfinite(f) and np.all(np.isfinite(g))
+
+
 def test_optimize_trajectory_classic_mode(arm_model):
     """trajectoryBounded: 0 (the reference's default, pulsed classic
     series): the optimizer runs with an unbounded FourierSpec and the
