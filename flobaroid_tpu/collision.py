@@ -162,7 +162,13 @@ def segment_segment_distance(p1, q1, p2, q2, eps=1e-12):
         s,
     )
     t = t_cl
-    # degenerate: point-segment / point-point
+    # degenerate: point-segment / point-point. When segment 2 is a
+    # point (zero-length capsule from a sphere geometry), the closest
+    # point on segment 1 is s = clamp(-c/a) (Ericson 5.1.9) — the
+    # general-case formula collapses to s = 0 there (denom = 0) and
+    # overestimated the distance by up to the segment length
+    s = jnp.where((e <= eps) & (a > eps),
+                  jnp.clip(-c / jnp.maximum(a, eps), 0.0, 1.0), s)
     s = jnp.where(a <= eps, 0.0, s)
     t = jnp.where(e <= eps, 0.0, t)
     c1 = p1 + s * d1

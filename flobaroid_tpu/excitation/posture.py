@@ -53,19 +53,7 @@ def optimize_postures(model, config, x_std_real=None, rng=None):
 
     def gram(Qs):
         """Gravity-regressor Gram over the postures (zero vel/acc)."""
-        Z = jnp.zeros_like(Qs)
-        if floating:
-            N = Qs.shape[0]
-            Y = eng.regressor_batch(
-                Qs, Z, Z,
-                jnp.broadcast_to(jnp.eye(3, dtype=Qs.dtype), (N, 3, 3)),
-                jnp.zeros((N, 6), Qs.dtype),
-                jnp.zeros((N, 6), Qs.dtype),
-            )
-        else:
-            Y = eng.regressor_batch(Qs, Z, Z)
-        Y = Y[:, :, keep_j]  # gravity columns: m, m*c
-        Yf = Y.reshape(-1, Y.shape[-1])
+        Yf = raw_rows(Qs)
         return jnp.einsum("mp,mq->pq", Yf, Yf, precision=jax.lax.Precision.HIGHEST)
 
     def raw_rows(Qs):
@@ -101,7 +89,9 @@ def optimize_postures(model, config, x_std_real=None, rng=None):
             )
         pi_real_np = np.asarray(x_std_real, dtype=float)[keep]
         if config.get("useBasisProjection", 0):
-            xb_real_np = pi_real_np @ np.asarray(model.B)
+            # pinv(B), matching identifier.xBaseReal; B.T only equals it
+            # for an orthonormalized basis
+            xb_real_np = np.asarray(model.Binv) @ pi_real_np
         else:
             xb_real_np = np.asarray(model.K) @ pi_real_np
         xb_real = jnp.asarray(xb_real_np, jnp.float32)
@@ -113,6 +103,12 @@ def optimize_postures(model, config, x_std_real=None, rng=None):
             Yf = raw_rows(Qs)
             YB = Yf @ Pb
             tau = Yf @ pi_real
+            # NOTE: with exact simulated torques the recovery is near-
+            # perfect for any WELL-excited posture set (the reference's
+            # inner identification shares this property); the ridge acts
+            # as the observability floor — base directions the postures
+            # leave below it keep their full ||xb_real|| error, which is
+            # what the search discriminates on
             GB = YB.T @ YB
             ridge = 1e-8 * jnp.trace(GB) / GB.shape[0]
             xb = jnp.linalg.solve(

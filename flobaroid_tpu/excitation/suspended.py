@@ -168,8 +168,13 @@ class SuspendedSimulator:
             att_rpy = att_rpy + rpy_dot * dt
             over = att_rpy > self.max_swing
             under = att_rpy < -self.max_swing
-            att_omega = jnp.where(over & (att_omega > 0), -0.3 * att_omega, att_omega)
-            att_omega = jnp.where(under & (att_omega < 0), -0.3 * att_omega, att_omega)
+            # outward motion is judged in rpy-rate space (rpy_dot), not
+            # world angular velocity: with nonzero yaw the E(rpy) map is
+            # non-diagonal, and an att_omega-sign test could keep pushing
+            # outward without ever triggering the bounce (pose stuck at
+            # the clamp)
+            att_omega = jnp.where(over & (rpy_dot > 0), -0.3 * att_omega, att_omega)
+            att_omega = jnp.where(under & (rpy_dot < 0), -0.3 * att_omega, att_omega)
             att_rpy = jnp.clip(att_rpy, -self.max_swing, self.max_swing)
             return (att_rpy, att_omega), (rpy_bl, pos_bl, vel_bl)
 

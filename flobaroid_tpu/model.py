@@ -1167,7 +1167,9 @@ class Model:
             terms = []
             for ci in np.nonzero(np.abs(self.K[i]) > tol)[0]:
                 coeff = self.K[i, ci]
-                name = self.param_names[ci]
+                # K columns are identified-space: map to the full layout
+                # (they differ in gravity-only mode)
+                name = self.param_names[self.identified_params[ci]]
                 if abs(coeff - 1.0) < 1e-9:
                     terms.append(f"+ {name}")
                 elif abs(coeff + 1.0) < 1e-9:

@@ -120,6 +120,7 @@ class Joint:
     limit_velocity: float = np.inf
     damping: float = 0.0
     friction: float = 0.0  # Coulomb, from <dynamics friction=...>
+    has_damping: bool = False  # explicit <dynamics damping> vs absent
 
 
 @dataclass
@@ -369,6 +370,7 @@ def load_urdf(
             dyn = el.find("dynamics")
             if dyn is not None:
                 joint.damping = float(dyn.get("damping", 0))
+                joint.has_damping = "damping" in dyn.attrib
                 joint.friction = float(dyn.get("friction", 0))
             joints.append(joint)
         elif el.tag == "transmission":

@@ -71,7 +71,7 @@ class OutputConsole:
                 ap = xModel[p]
                 idv = xStd[p]
                 chg = 100.0 * (idv - ap) / abs(ap) if abs(ap) > 1e-12 else float("inf") if abs(idv) > 1e-9 else 0.0
-                row = f"{p:>4} {m.param_names[ci]:<10} {ap:>12.5g} {idv:>12.5g}"
+                row = f"{p:>4} {m.param_names[p]:<10} {ap:>12.5g} {idv:>12.5g}"
                 if xReal is not None:
                     rv = xReal[p]
                     err = 100.0 * (idv - rv) / abs(rv) if abs(rv) > 1e-12 else 0.0
@@ -164,7 +164,7 @@ class OutputConsole:
         rows = ["\\begin{tabular}{llrr}", "\\toprule",
                 "\\# & name & a priori & identified \\\\", "\\midrule"]
         for ci, p in enumerate(m.identified_params):
-            name = m.param_names[ci].replace("_", "\\_")
+            name = m.param_names[p].replace("_", "\\_")
             rows.append(f"{p} & {name} & {m.xStdModel[p]:.5g} & {xStd[p]:.5g} \\\\")
         rows += ["\\bottomrule", "\\end{tabular}"]
         return "\n".join(rows)

@@ -83,7 +83,15 @@ class JointProperties:
         lims = tree.joint_limits()
         by_name = {tree.joints[ji].name: tree.joints[ji] for ji in tree.dof_joint_ids}
 
-        fv = np.array([by_name[j].damping if by_name[j].damping else 1.0 for j in joint_names])
+        # explicit <dynamics damping="0"/> means a frictionless joint and
+        # passes through; only an ABSENT attribute gets the 1.0 default
+        # (reference simulationEffects.py:125 dict-get semantics)
+        fv = np.array([
+            by_name[j].damping
+            if (by_name[j].damping or getattr(by_name[j], "has_damping", False))
+            else 1.0
+            for j in joint_names
+        ])
         fc = np.array([by_name[j].friction for j in joint_names])
         tau_max = np.array(
             [lims[j]["torque"] if np.isfinite(lims[j]["torque"]) else 50.0 for j in joint_names]
@@ -157,7 +165,11 @@ class JointProperties:
             "simulateFrictionSignThreshold", self.friction_sign_threshold
         )
         scale = config.get("simulateCableStiffnessScale", self.cable_stiffness_scale)
-        self.cable_stiffness = self.cable_stiffness * scale
+        # idempotent: scale from the derived base, not cumulatively
+        if not hasattr(self, "_cable_stiffness_base"):
+            self._cable_stiffness_base = np.array(self.cable_stiffness)
+        self.cable_stiffness_scale = float(scale)
+        self.cable_stiffness = self._cable_stiffness_base * float(scale)
 
 
 # ----------------------------------------------------------------------
@@ -241,6 +253,9 @@ def add_temperature_friction_drift(torques, velocities, times, jp, torque_col_of
     tau_th = jnp.asarray(jp.thermal_tau)
     red = jp.thermal_reduction
     warm = 1.0 - red * vel_scale * (1.0 - jnp.exp(-eff_t / tau_th))
+    # NOTE reference parity: (1 - warm) already carries `red`, so the
+    # drift amplitude is fv * red^2 — the reference computes the same
+    # (simulationEffects.py:668-676)
     fric_amp = jnp.asarray(jp.viscous_friction) * red
     drift = -fric_amp * (1.0 - warm) * jnp.sign(velocities)
     out = jnp.zeros_like(torques)

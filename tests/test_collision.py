@@ -54,6 +54,12 @@ def test_segment_distance_cases():
     assert abs(d([0, 0, 0], [0, 0, 0], [0, 0, 2], [0, 0, 2]) - 2.0) < 1e-8
     # intersecting segments -> ~0
     assert d([-1, 0, 0], [1, 0, 0], [0, -1, 0], [0, 1, 0]) < 1e-5
+    # SECOND segment degenerate (sphere capsule): closest point must be
+    # the projection onto segment 1, not its start (s = clamp(-c/a) —
+    # previously returned |p1 - p2| = 0.502 instead of 0.05)
+    assert abs(d([0, 0, 0], [1, 0, 0], [0.5, 0.05, 0], [0.5, 0.05, 0]) - 0.05) < 1e-9
+    # FIRST segment degenerate: symmetric case
+    assert abs(d([0.5, 0.05, 0], [0.5, 0.05, 0], [0, 0, 0], [1, 0, 0]) - 0.05) < 1e-9
 
 
 def test_segment_distance_gradient():
