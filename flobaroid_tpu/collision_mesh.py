@@ -325,6 +325,10 @@ class MeshCollisionVerifier:
             np.asarray([wmargins[p] for p in self.world_pairs], dtype=float),
         ]) if self.pair_names else np.zeros(0)
 
+        # attributes verify()/min_clearances() read unconditionally must
+        # exist even for a verifier with zero pairs (advisor r2 finding)
+        self._native: dict[int, tuple] = {}
+        self._full_links: set[str] = set()
         if not self.pair_names:
             return
 
@@ -361,7 +365,6 @@ class MeshCollisionVerifier:
         # the hull tier over-approximates them, so a near-contact hull
         # verdict is refined against the raw triangle BVH (the role FCL's
         # full-mesh mode plays in the reference, optimizer.py:571-634)
-        self._native: dict[int, tuple] = {}
         self._full_links = {
             n for n in tree.link_names if n in full_links or mode == "full"
         }

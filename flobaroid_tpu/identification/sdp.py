@@ -505,6 +505,17 @@ class SDP:
             rho1 = Q[:, :nb].T @ m.torques_stack
             contacts = Q[:, :nb].T @ m.contactForcesSum
         R1_K = R1 @ K  # (nb, n_idable)
+        if m.YBase is None and opt["useAPriori"]:
+            # streaming Grams accumulate g_base against tau = torques -
+            # tau_apriori (param-ERROR space) while the constraints and
+            # CAD regularization below live in ABSOLUTE parameter space
+            # (the materialized branch uses raw torques_stack). Fold the
+            # a-priori contraction back: tau_ap = Y_id x_ap = Y_base K
+            # x_ap_idable, so rho1_abs = rho1 + R1 K x_ap (advisor r2;
+            # deleted K columns are zero-regressor params, so restricting
+            # to idable columns is exact).
+            x_ap_idable = np.asarray([m.xStdModel[p] for p in self.idable_params])
+            rho1 = rho1 + R1_K @ x_ap_idable
 
         # residual rows + CAD regularization rows
         base_error = float(getattr(idf, "base_error", 1.0) or 1.0)
@@ -569,10 +580,16 @@ class SDP:
         scale = 1.0
         if geo_terms:
             if m.YBase is None:
+                # the streamed aggregates live in a-priori-ERROR space
+                # under useAPriori while m.xBase is absolute by now
+                # (getBaseParamsFromParamError ran) — evaluate the
+                # residual with the error-space base vector, which equals
+                # ||tau_meas - cf - Y_base xBase|| exactly
+                xB = m.xBase - (m.xBaseModel if opt["useAPriori"] else 0.0)
                 rho2 = float(
                     m.tau_sq - 2 * m.tau_cf + m.cf_sq
-                    - 2 * m.xBase @ (m.g_base - m.g_cf_base)
-                    + m.xBase @ (m.G_base @ m.xBase)
+                    - 2 * xB @ (m.g_base - m.g_cf_base)
+                    + xB @ (m.G_base @ xB)
                 )
             else:
                 rho2 = float(

@@ -333,6 +333,8 @@ class Model:
         (default: a-priori URDF params), friction included
         (replaces simulateDynamicsIDynTree, reference model.py:239-331)."""
         x = self.xStdModel if x is None else x
+        if len(idx) == 0:
+            return np.zeros((0, self.num_dofs + self.fb))
         Q, V, A, BR, BV, BA = self._gather_state(samples, idx)
         # inertial torques via the (exact) regressor contraction Y @ pi.
         # Fixed-size chunks (padded): one compiled shape serves every
@@ -452,6 +454,13 @@ class Model:
         self.torques_stack = torq.reshape(-1)
         self.torquesAP_stack = sim.reshape(-1) if (sim is not None and opt["useAPriori"]) else np.zeros_like(self.torques_stack)
         if num_contacts or opt["simulateTorques"]:
+            # write back into a COPY of the samples dict when it still
+            # aliases data.measurements (advisor r2): with skipSamples>0
+            # the subsampled (N_used, rows) array would otherwise replace
+            # measurements['torques'] and silently corrupt later block
+            # selection / reassembly passes
+            if data.samples is data.measurements:
+                data.samples = dict(data.measurements)
             data.samples["torques"] = torq
             if num_contacts and not opt["simulateTorques"]:
                 data.contacts_in_torques = True
