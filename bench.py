@@ -63,15 +63,18 @@ def run_pipeline(idf, samples):
 
 
 def run_humanoid30():
-    """Walkman-scale second metric (VERDICT r1 #2): streamed-Gram
-    identification of the bundled 30-DOF humanoid at the reference's
-    walking-log scale (13 770 samples, 200 Hz,
-    documentation/analysis_findings.md:122-129), SDP included.
+    """Walkman-scale second metric: streamed-Gram identification of the
+    bundled 30-DOF humanoid at the reference's walking-log operating
+    point — 13 770 samples, 200 Hz, base motion AND foot contact
+    wrenches identified through the J^T w torque contributions
+    (reference documentation/analysis_findings.md:122-129, contact
+    stacking at identification/model.py:535-560), SDP included.
     Returns a details dict."""
     import jax
 
     from flobaroid_tpu.identification.identifier import Identification
     from flobaroid_tpu.model import Model
+    from flobaroid_tpu.simulation.scenarios import walking_contact_scenario
     from flobaroid_tpu.utils.config import load_config
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -98,21 +101,9 @@ def run_humanoid30():
     m = idf.model
     nd = m.num_dofs
     N = 13770
-    rng = np.random.default_rng(0)
-    lims = m.limits
-    lo = np.array([lims[j]["lower"] for j in m.jointNames])
-    hi = np.array([lims[j]["upper"] for j in m.jointNames])
-    samples = {
-        "positions": lo + (hi - lo) * rng.random((N, nd)),
-        "velocities": (rng.random((N, nd)) - 0.5) * 2,
-        "accelerations": (rng.random((N, nd)) - 0.5) * 2,
-        "torques": np.zeros((N, nd)),
-        "times": np.arange(N) / 200.0, "frequency": np.float64(200.0),
-        "base_rpy": np.zeros((N, 3)), "base_velocity": np.zeros((N, 6)),
-        "base_acceleration": np.zeros((N, 6)),
-    }
-    tau = m.simulate_dynamics(samples, np.arange(N))
-    samples["torques"] = tau[:, 6:] + rng.normal(0, 0.05, (N, nd))
+    samples, _, _ = walking_contact_scenario(
+        m, N=N, freq=200.0, seed=0, torque_noise=0.05, wrench_noise=0.5
+    )
 
     # warmup pass (compile + solver-structure cache), then timed passes
     # (min of 2: the remote-execution relay shows 2-3x wall-clock noise
@@ -134,6 +125,7 @@ def run_humanoid30():
         "wallclock_s": round(wall, 3),
         "rows_per_sec": int(rows / wall),
         "n_samples": N,
+        "scenario": "walking_contacts(2 foot F/T frames, base sway)",
         "torque_residual_pct": round(float(idf.res_error), 4),
         "base_param_distance": round(rel, 5),
         "sdp_status": idf.sdp.last_status,

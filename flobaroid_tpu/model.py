@@ -437,8 +437,8 @@ class Model:
                 if li is None:
                     continue
                 w = np.asarray(wrench)[idx]
-                Jt = self._contact_jacobians(li, Q, BR)  # (N, 6, 6+nd)
-                contrib = np.einsum("nck,nc->nk", Jt, w)  # (N, 6+nd)
+                Jt = self._contact_jacobians(li, Q, BR)  # (N, 6+nd, 6) J^T
+                contrib = np.einsum("nkc,nc->nk", Jt, w)  # (N, 6+nd)
                 contacts_sum += contrib[:, -rows:]
         self.contactForcesSum = contacts_sum.reshape(-1)
 
@@ -926,6 +926,10 @@ class Model:
         return self._scan_contract(staged, xs)
 
     def _contact_jacobians(self, link_index: int, Q: np.ndarray, BR):
+        """Batched frame Jacobians, transposed: (N, 6+nd, 6) J^T rows.
+        Fixed-size padded chunks (like simulate_dynamics): one compiled
+        shape serves every dataset length — a walking-log N baked into
+        the jit shape costs a fresh multi-minute remote compile."""
         eng = self.engine
         key = ("contactJ", link_index, BR is not None)
         if key not in self._regr_jit_cache:
@@ -937,12 +941,26 @@ class Model:
                 self._regr_jit_cache[key] = jax.jit(
                     jax.vmap(lambda q, br: eng.frame_jacobian(link_index, q, br))
                 )
+        fn = self._regr_jit_cache[key]
         dt = self._compute_dtype()
-        if BR is None:
-            J = self._regr_jit_cache[key](jnp.asarray(Q, dtype=dt))
-        else:
-            J = self._regr_jit_cache[key](jnp.asarray(Q, dtype=dt), jnp.asarray(BR, dtype=dt))
-        return np.swapaxes(np.asarray(J, dtype=float), 1, 2)  # (N, 6+nd, 6) -> J^T rows
+        N = len(Q)
+        chunk = min(int(self.opt.get("gramChunk", 4096)), max(N, 16))
+        parts = []
+        for s0 in range(0, N, chunk):
+            sl = slice(s0, s0 + chunk)
+            n_here = len(Q[sl])
+            padn = chunk - n_here
+
+            def p(a):
+                a = np.asarray(a[sl])
+                if padn:
+                    a = np.concatenate([a, np.repeat(a[-1:], padn, axis=0)])
+                return jnp.asarray(a, dtype=dt)
+
+            J = fn(p(Q)) if BR is None else fn(p(Q), p(BR))
+            parts.append(np.asarray(J, dtype=float)[:n_here])
+        J = np.concatenate(parts)
+        return np.swapaxes(J, 1, 2)  # (N, 6, 6+nd) -> J^T rows
 
     # ------------------------------------------------------------------
     # structural (random) regressor + QR base projection
