@@ -105,17 +105,20 @@ def run_humanoid30():
         m, N=N, freq=200.0, seed=0, torque_noise=0.05, wrench_noise=0.5
     )
 
-    # warmup pass (compile + solver-structure cache), then timed passes
-    # (min of 2: the remote-execution relay shows 2-3x wall-clock noise
-    # between identical runs; the min is the reproducible number)
+    # warmup pass (compile + solver-structure cache), then timed passes.
+    # The min is the headline (the remote-execution relay shows 2-3x
+    # wall-clock noise between identical runs) but mean/max are reported
+    # too so a typical-case regression can't hide behind the min
+    # (VERDICT r2 #7)
     idf.data.init_from_data(dict(samples))
     idf.estimateParameters()
-    wall = np.inf
+    walls = []
     for _ in range(2):
         t0 = time.time()
         idf.data.init_from_data(dict(samples))
         idf.estimateParameters()
-        wall = min(wall, time.time() - t0)
+        walls.append(time.time() - t0)
+    wall = min(walls)
 
     rel = float(np.linalg.norm(idf.model.xBase - idf.model.xBaseModel)
                 / np.linalg.norm(idf.model.xBaseModel))
@@ -123,12 +126,16 @@ def run_humanoid30():
     shutil.rmtree(tmpdir, ignore_errors=True)
     return {
         "wallclock_s": round(wall, 3),
+        "wallclock_mean_s": round(float(np.mean(walls)), 3),
+        "wallclock_max_s": round(float(np.max(walls)), 3),
+        "stage_times_s": {k: round(v, 3) for k, v in idf.stage_times.items()},
         "rows_per_sec": int(rows / wall),
         "n_samples": N,
         "scenario": "walking_contacts(2 foot F/T frames, base sway)",
         "torque_residual_pct": round(float(idf.res_error), 4),
         "base_param_distance": round(rel, 5),
         "sdp_status": idf.sdp.last_status,
+        "sdp_certificate": idf.sdp.last_info,
     }
 
 
@@ -176,13 +183,14 @@ def main():
 
     # timed end-to-end production passes: simulate torques on device +
     # batched regressor + base projection + OLS + std recovery.
-    # Min of 3 — the relay's wall-clock noise between identical runs is
-    # 2-3x; the min is the reproducible number
-    wall = np.inf
+    # Min of 3 is the headline (the relay's wall-clock noise between
+    # identical runs is 2-3x) with mean/max reported alongside
+    walls = []
     for _ in range(3):
         t0 = time.time()
         run_pipeline(idf, samples)
-        wall = min(wall, time.time() - t0)
+        walls.append(time.time() - t0)
+    wall = min(walls)
 
     # parity metrics
     res_error = float(idf.res_error)  # torque residual (%)
@@ -236,6 +244,10 @@ def main():
         "vs_baseline": round(1.0 / wall, 3),  # north-star 1 s / measured
         "details": {
             "device": str(jax.devices()[0]),
+            "wallclock_mean_s": round(float(np.mean(walls)), 4),
+            "wallclock_max_s": round(float(np.max(walls)), 4),
+            "stage_times_s": {k: round(v, 4) for k, v in idf.stage_times.items()},
+            "sdp_certificate": idf.sdp.last_info if idf.sdp else None,
             "regressor_rows_per_sec": int(rows_per_sec),
             "torque_residual_pct": round(res_error, 5),
             "base_param_rel_err": round(xb_err, 6),

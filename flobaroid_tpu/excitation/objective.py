@@ -366,6 +366,13 @@ class TrajectoryObjective:
         self._al_run = jax.jit(al_run, static_argnames=("lr", "n_steps"))
 
     # ------------------------------------------------------------------
+    def dopt(self, x):
+        """Pure regularized D-optimality (-sum log eig) of a candidate —
+        without soft costs or scaling (for quality reporting, e.g. the
+        mesh-backoff D-opt before/after)."""
+        return float(self._raw_jit(jnp.asarray(x, self.dtype))[0])
+
+    # ------------------------------------------------------------------
     def calibrate_scale(self, x0: np.ndarray):
         """Set the D-optimality scaling so the initial value is ~10
         (reference trajectoryOptimizer.py:288-293)."""

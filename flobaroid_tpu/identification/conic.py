@@ -187,6 +187,7 @@ class QuadBarrierSolver:
         self.psd_maps = psd_maps
         self.psd_eps = psd_eps
         self.n = n
+        self.last_info: dict | None = None
         cpu = jax.devices("cpu")[0]
         self._cpu = cpu
         with jax.enable_x64(True), jax.default_device(cpu):
@@ -225,17 +226,20 @@ class QuadBarrierSolver:
             step_sel = jnp.where(any_ok, steps[idx], 0.0).astype(x.dtype)
             return jnp.where(any_ok, cand[idx], x), dec, any_ok, step_sel
 
-        def newton_run(x, t, H, q, tol, max_iter):
+        def newton_run(x, t, H, q, tol, max_iter, stall_ratio):
             """A whole centering stage in ONE dispatch: lax.while_loop
             over newton_step until the decrement converges, the line
             search fails (step < 1e-8: crawling at the f64 floor), or
-            the decrement stalls (ratio >= 0.95 after the damped phase:
-            measured 60-iteration crawls in the final polish at high t
-            without this)."""
+            the decrement stalls (ratio >= stall_ratio after the damped
+            phase). Path stages pass 0.95 (measured 60-iteration crawls
+            without it); the final certifying polish passes >= 1 so slow
+            damped-phase progress (decrement ratios just under 1 are
+            NORMAL for self-concordant damped Newton) is not cut off
+            before the quadratic zone (VERDICT r2 #6)."""
 
             def cond(carry):
                 x, it, dec, prev_dec, ok, step = carry
-                progress = (it < 6) | (dec <= 0.95 * prev_dec)
+                progress = (it < 6) | (dec <= stall_ratio * prev_dec)
                 return (
                     (it < max_iter) & ok & (dec / 2.0 >= tol)
                     & (step >= 1e-8) & progress
@@ -287,32 +291,98 @@ class QuadBarrierSolver:
             f0_scale = max(1.0, abs(f0))
             t = max(1.0, nu / f0_scale)
             if not np.isfinite(float(self._psi(x, t, Hj, qj))):
+                self.last_info = {"status": "infeasible_start"}
                 return np.asarray(x), "infeasible_start"
             import os as _os
             import time as _time
 
             dbg = _os.environ.get("FLOBAROID_SDP_DEBUG")
+            # KKT-level certificate (VERDICT r2 #6). At t ~ nu/1e-6 the
+            # central point presses the active constraints to ~1e-9
+            # relative slack, beyond what f64 Newton can center — so the
+            # certificate is produced ON THE WAY, at an explicit ladder
+            # rung t_cert = nu/(1e-4 f0) where centering is numerically
+            # robust, tightened to full tolerance with the stall cutoff
+            # disabled. The self-concordant bound
+            #   f(x_c) - f* <= (nu + sqrt(nu) * lam) / t_cert  (lam < 1)
+            # transfers to the RETURNED point because we return whichever
+            # of {x_final, x_c} has the lower objective (both strictly
+            # feasible barrier iterates).
+            t_cert_target = nu / (1e-4 * f0_scale)
+            x_cert = None
+            lam_cert = np.inf
+            t_cert = t_cert_target
+            it_c = 0
             for _outer in range(max_outer):
                 # loose centering along the path (it re-centers every
                 # stage); full precision via the final polish
                 stage_tol = max(newton_tol, 1e-4)
                 _t0 = _time.time()
-                x, it, dec, ok = self._newton_run(x, t, Hj, qj, stage_tol, max_newton)
+                x, it, dec, ok = self._newton_run(
+                    x, t, Hj, qj, stage_tol, max_newton, 0.95
+                )
                 if dbg:
                     print(f"  stage t={t:.3g} newton_iters={int(it)} "
                           f"dec={float(dec):.3g} {_time.time()-_t0:.3f}s")
                 if stop_fn is not None and stop_fn(np.asarray(x)):
                     return np.asarray(x), "stopped"
+                if x_cert is None and t >= t_cert_target:
+                    _t0 = _time.time()
+                    x, it_c, dec_c, _ = self._newton_run(
+                        x, t, Hj, qj, newton_tol, 2 * max_newton, 2.0
+                    )
+                    dec_v = float(dec_c) if np.isfinite(float(dec_c)) else np.inf
+                    x_cert, lam_cert, t_cert = x, float(np.sqrt(max(dec_v, 0.0))), t
+                    if dbg:
+                        print(f"  certify t={t:.3g} newton_iters={int(it_c)} "
+                              f"lam={lam_cert:.3g} {_time.time()-_t0:.3f}s")
                 if nu / t < gap_tol * f0_scale:
                     break
-                t *= mu
-            # final polish at the last t
+                # next rung; land exactly on the certificate rung when
+                # the plain ladder would overshoot it
+                t_next = t * mu
+                if x_cert is None and t < t_cert_target < t_next:
+                    t_next = t_cert_target
+                t = t_next
+            # final polish at the last t (solution quality)
             _t0 = _time.time()
-            x, it, _, _ = self._newton_run(x, t, Hj, qj, newton_tol, max_newton)
+            x, it, dec_f, _ = self._newton_run(
+                x, t, Hj, qj, newton_tol, max_newton, 0.95
+            )
             if dbg:
                 print(f"  polish newton_iters={int(it)} {_time.time()-_t0:.3f}s")
-            status = "optimal" if nu / t < 1e-3 * f0_scale else "max_iter"
-            return np.asarray(x), status
+            f_hi = float(0.5 * x @ (Hj @ x) + qj @ x)
+            if x_cert is None:
+                x_cert, lam_cert, t_cert = x, np.inf, t
+            f_c = float(0.5 * x_cert @ (Hj @ x_cert) + qj @ x_cert)
+            x_ret = x if f_hi <= f_c else x_cert
+            gap = nu / t
+            viol = float(self._feas_slack(x_ret))
+            cert_gap = (
+                (nu + np.sqrt(nu) * lam_cert) / t_cert
+                if lam_cert < 1.0 else np.inf
+            )
+            if cert_gap < 1e-3 * f0_scale and lam_cert < 0.25:
+                status = "optimal"
+            elif gap < 1e-3 * f0_scale:
+                # gap criterion met but the certificate rung did not
+                # reach the quadratic zone — distinct status, usable
+                status = "optimal_inexact"
+            else:
+                status = "max_iter"
+            self.last_info = {
+                "gap": float(gap),
+                "gap_rel": float(gap / f0_scale),
+                "cert_gap_rel": float(cert_gap / f0_scale),
+                "cert_t": float(t_cert),
+                "newton_lambda": lam_cert,
+                "max_violation": viol,
+                "barrier_t": float(t),
+                "polish_iters": int(it),
+                "certify_iters": int(it_c),
+                "status": status,
+            }
+            return np.asarray(x_ret), status
 
     # ------------------------------------------------------------------
     def _phase1_solver(self):
@@ -363,6 +433,7 @@ class QuadBarrierSolver:
         """Cached phase-I + cached-Newton path following."""
         x_feas, ok = self.phase1(np.asarray(x0, float))
         if not ok:
+            self.last_info = {"status": "infeasible"}
             return np.asarray(x0), "infeasible"
         return self.minimize(x_feas, H, q, const=const, **kw)
 
@@ -379,13 +450,16 @@ def barrier_minimize(
     stop_fn=None,
     verbose: bool = False,
     _core: _BarrierCore | None = None,
+    info: dict | None = None,
 ):
     """Primal barrier path following for a GENERAL convex objective
     (analytic barrier derivatives + autodiff objective). Returns
-    (x, status): 'optimal' | 'infeasible_start' | 'max_iter' |
-    'stopped'. x0 must be strictly feasible (see phase1). The
-    duality-gap test is anchored to the objective scale at the START
-    (a diverging objective must not loosen it)."""
+    (x, status): 'optimal' | 'optimal_inexact' | 'infeasible_start' |
+    'max_iter' | 'stopped'. x0 must be strictly feasible (see phase1).
+    The duality-gap test is anchored to the objective scale at the
+    START (a diverging objective must not loosen it). Pass `info` to
+    receive the KKT certificate (gap, final Newton decrement, max
+    violation)."""
     dtype = np.float64
     n = len(x0)
     core = _core if _core is not None else _BarrierCore(
@@ -405,7 +479,7 @@ def barrier_minimize(
         return t * prob.objective(x) + core.value(x)
 
     @jax.jit
-    def newton_run(x, t, tol, max_iter):
+    def newton_run(x, t, tol, max_iter, stall_ratio):
         def newton_step(x):
             gb, Hb = core.grad_hess(x)
             g = t * grad_obj(x) + gb
@@ -428,7 +502,7 @@ def barrier_minimize(
 
         def cond(carry):
             x, it, dec, prev_dec, ok, step = carry
-            progress = (it < 6) | (dec <= 0.95 * prev_dec)
+            progress = (it < 6) | (dec <= stall_ratio * prev_dec)
             return (
                 (it < max_iter) & ok & (dec / 2.0 >= tol)
                 & (step >= 1e-8) & progress
@@ -454,19 +528,55 @@ def barrier_minimize(
     if not np.isfinite(float(psi(x, t0))):
         return np.asarray(x), "infeasible_start"
 
+    # certificate on the way (see QuadBarrierSolver.minimize): tighten
+    # at an explicit rung t_cert = nu/(1e-4 f0) where f64 centering is
+    # robust; the self-concordant bound there transfers to the returned
+    # point via objective comparison
     t = t0
+    t_cert_target = nu / (1e-4 * f0_scale)
+    x_cert = None
+    lam_cert = np.inf
+    t_cert = t_cert_target
     for _outer in range(max_outer):
         if stop_fn is not None and stop_fn(np.asarray(x)):
             return np.asarray(x), "stopped"
-        x, _, _, _ = newton_run(x, t, newton_tol, max_newton)
+        x, _, _, _ = newton_run(x, t, newton_tol, max_newton, 0.95)
         if stop_fn is not None and stop_fn(np.asarray(x)):
             return np.asarray(x), "stopped"
+        if x_cert is None and t >= t_cert_target:
+            x, _, dec_c, _ = newton_run(x, t, newton_tol, 2 * max_newton, 2.0)
+            dec_v = float(dec_c) if np.isfinite(float(dec_c)) else np.inf
+            x_cert, lam_cert, t_cert = x, float(np.sqrt(max(dec_v, 0.0))), t
         if nu / t < gap_tol * f0_scale:
             break
-        t *= mu
+        t_next = t * mu
+        if x_cert is None and t < t_cert_target < t_next:
+            t_next = t_cert_target
+        t = t_next
+    f_hi = float(prob.objective(x))
+    if x_cert is None:
+        x_cert, lam_cert, t_cert = x, np.inf, t
+    f_c = float(prob.objective(x_cert))
+    x_ret = x if f_hi <= f_c else x_cert
     gap = nu / t
-    status = "optimal" if gap < 1e-3 * f0_scale else "max_iter"
-    return np.asarray(x), status
+    viol = float(jax.jit(core.feas_slack)(x_ret))
+    cert_gap = (
+        (nu + np.sqrt(nu) * lam_cert) / t_cert if lam_cert < 1.0 else np.inf
+    )
+    if cert_gap < 1e-3 * f0_scale and lam_cert < 0.25:
+        status = "optimal"
+    elif gap < 1e-3 * f0_scale:
+        status = "optimal_inexact"
+    else:
+        status = "max_iter"
+    if info is not None:
+        info.update(
+            gap=float(gap), gap_rel=float(gap / f0_scale),
+            cert_gap_rel=float(cert_gap / f0_scale), cert_t=float(t_cert),
+            newton_lambda=lam_cert, max_violation=viol, barrier_t=float(t),
+            status=status,
+        )
+    return np.asarray(x_ret), status
 
 
 def phase1(prob: BarrierProblem, x0: np.ndarray, margin: float = 1e-8, verbose=False):
@@ -522,7 +632,8 @@ def phase1(prob: BarrierProblem, x0: np.ndarray, margin: float = 1e-8, verbose=F
     return z[:-1], False
 
 
-def solve(prob: BarrierProblem, x0: np.ndarray, verbose: bool = False, **kw):
+def solve(prob: BarrierProblem, x0: np.ndarray, verbose: bool = False,
+          info: dict | None = None, **kw):
     """Phase-I (if needed) + barrier minimize, pinned to host CPU f64
     (a production process defaults to the accelerator in f32; this
     parameter-space solve needs neither). Returns (x, status)."""
@@ -530,6 +641,8 @@ def solve(prob: BarrierProblem, x0: np.ndarray, verbose: bool = False, **kw):
     with jax.enable_x64(True), jax.default_device(cpu):
         x_feas, ok = phase1(prob, x0, verbose=verbose)
         if not ok:
+            if info is not None:
+                info.update(status="infeasible")
             return np.asarray(x0), "infeasible"
-        x, status = barrier_minimize(prob, x_feas, verbose=verbose, **kw)
+        x, status = barrier_minimize(prob, x_feas, verbose=verbose, info=info, **kw)
     return x, status

@@ -554,7 +554,12 @@ class Identification:
 
     # ------------------------------------------------------------------
     def estimateParameters(self) -> None:
-        """Full estimation flow (reference identifier.py:857-977)."""
+        """Full estimation flow (reference identifier.py:857-977).
+        Per-stage wall-clock lands in self.stage_times (regressor /
+        estimation / sdp / reporting) for observability and the bench's
+        per-stage breakdown."""
+        import time as _time
+
         opt = self.opt
         m = self.model
         if self.data.num_used_samples <= m.num_identified_params * 2 and not opt.get(
@@ -565,7 +570,17 @@ class Identification:
                 f"({self.data.num_used_samples} <= 2*{m.num_identified_params})"
             )
 
+        self.stage_times: dict[str, float] = {}
+        _t = _time.perf_counter()
+
+        def _mark(name):
+            nonlocal _t
+            now = _time.perf_counter()
+            self.stage_times[name] = self.stage_times.get(name, 0.0) + now - _t
+            _t = now
+
         m.computeRegressors(self.data)
+        _mark("regressor_gram")
 
         if opt["useEssentialParams"]:
             self.identifyBaseParameters()
@@ -580,6 +595,7 @@ class Identification:
                 self.identifyBaseParameters(YBase_bw, tau_bw)
             else:
                 self.identifyBaseParameters()
+            _mark("ols_wls")
 
             if opt["constrainToConsistent"] and self.sdp is not None:
                 if opt["useAPriori"]:
@@ -602,6 +618,7 @@ class Identification:
                     m.xBase = (
                         m.Binv @ m.xStd if opt["useBasisProjection"] else m.K @ m.xStd
                     )
+                _mark("sdp")
             else:
                 if opt["estimateWith"] == "std_direct":
                     self.identifyStandardParametersDirect()
@@ -609,6 +626,7 @@ class Identification:
                     self.findStdFromBaseParameters()
                     if opt["useAPriori"]:
                         self.getBaseParamsFromParamError()
+                _mark("std_recovery")
 
         if opt.get("postIdentifyFriction", 0):
             if opt["floatingBase"] or opt.get("identifyFrictionSimultaneously", 0):
@@ -632,6 +650,7 @@ class Identification:
         self.estimateRegressorTorques("urdf")
         self.estimateRegressorTorques()
         self.res_error = helpers.relative_error_pct(m.tauMeasured, self.tauEstimated)
+        _mark("reporting")
 
     # ------------------------------------------------------------------
     def estimateValidationTorques(self) -> None:

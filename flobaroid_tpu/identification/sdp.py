@@ -103,10 +103,24 @@ class SDP:
         }
         self.epsilon_safemargin = float(idf.opt.get("sdpSafeMargin", 1e-6))
         self.last_status: str | None = None
+        # KKT certificate of the most recent solve: duality gap, final
+        # Newton decrement, max constraint violation (VERDICT r2 #6)
+        self.last_info: dict | None = None
+        self._geo_info: dict | None = None
         # persistent across initSDP_LMIs: compiled Newton solvers keyed by
         # the constraint STRUCTURE (repeated identifications of the same
         # robot/options must not recompile)
         self._solver_cache: dict = {}
+
+    def _solver_info(self) -> dict | None:
+        """Certificate of the solve that just returned: the geo path
+        fills self._geo_info via conic.solve(info=...); the quadratic
+        paths read the last-used solver's last_info."""
+        if self._geo_info is not None:
+            info, self._geo_info = self._geo_info, None
+            return info
+        s = getattr(self, "_last_solver", None)
+        return getattr(s, "last_info", None)
 
     # ------------------------------------------------------------------
     def initSDP_LMIs(self, idf, remove_nonid: bool = True) -> None:
@@ -376,6 +390,7 @@ class SDP:
                 self.epsilon_safemargin,
                 len(self.free_params),
             )
+        self._last_solver = self._solver_cache[key]
         return self._solver_cache[key]
 
     # ------------------------------------------------------------------
@@ -620,7 +635,11 @@ class SDP:
                 psd_maps=self.psd_maps,
                 psd_eps=self.epsilon_safemargin,
             )
-            x, status = conic.solve(prob, self._x0_free(), verbose=opt["verbose"] > 1)
+            self._geo_info = {}
+            x, status = conic.solve(
+                prob, self._x0_free(), verbose=opt["verbose"] > 1,
+                info=self._geo_info,
+            )
         else:
             Cs = C_free / scale
             ds = d_eff / scale
@@ -628,7 +647,8 @@ class SDP:
                 self._x0_free(), 2.0 * Cs.T @ Cs, -2.0 * Cs.T @ ds, float(ds @ ds)
             )
         self.last_status = status
-        if status == "optimal":
+        self.last_info = self._solver_info()
+        if status.startswith("optimal"):
             resid = float(np.linalg.norm(C_free @ x - d_eff) ** 2)
             if opt["verbose"]:
                 print(f"SDP found std solution with {resid:.2f} squared residual error")
@@ -678,7 +698,8 @@ class SDP:
             self._x0_free(), 2.0 * G_free, -2.0 * g_free, tau_sq
         )
         self.last_status = status
-        if status == "optimal":
+        self.last_info = self._solver_info()
+        if status.startswith("optimal"):
             m.xStd = self._expand_solution(x)
         else:
             print(f"SDP solver failed ({status}), keeping a priori parameters")
@@ -715,7 +736,8 @@ class SDP:
             self._x0_free(), 2.0 * np.eye(nf), -2.0 * target, float(target @ target)
         )
         self.last_status = status
-        if status == "optimal":
+        self.last_info = self._solver_info()
+        if status.startswith("optimal"):
             if opt["verbose"]:
                 dist = float(np.linalg.norm(x - target) ** 2)
                 print(f"SDP found std solution with distance {dist:.2f} from CAD")
@@ -732,7 +754,8 @@ class SDP:
             self._x0_free(), 2.0 * np.eye(nf), -2.0 * target, float(target @ target)
         )
         self.last_status = status
-        if status == "optimal":
+        self.last_info = self._solver_info()
+        if status.startswith("optimal"):
             return self._expand_solution(x)
         return xStd
 

@@ -150,3 +150,60 @@ def test_checkpoint_resume_matches_uninterrupted(arm_obj, tmp_path):
     assert os.path.exists(cfg_l["trajectoryCheckpointFile"])
     x3, f3, feas3 = local_refine(obj, cfg_l, x0)
     assert np.all(np.isfinite(x3))
+
+
+def test_checkpoint_resume_preserves_seeds(tmp_path):
+    """A run killed BEFORE the seeded generation evaluates (the
+    checkpoint saves pre-evaluation) must re-inject the seed solutions
+    on resume even when the resuming caller does not pass them again
+    (VERDICT r2 #8): seeds ride inside the checkpoint."""
+    from flobaroid_tpu.excitation.optimizer import build_bounds, global_search
+    from flobaroid_tpu.excitation.trajectory import FourierSpec
+
+    spec = FourierSpec(nf=(1, 1), limits=((-1.0, 1.0), (-1.0, 1.0)))
+    cfg = dict(
+        globalOptSize=8, globalOptIterations=2, globalOptRestarts=1,
+        globalOptAmplitudeRepair=0,
+        trajectoryCheckpointFile=str(tmp_path / "seed_ckpt.npz"),
+    )
+    lo, hi = build_bounds(spec, cfg)
+    seed = lo + 0.3717 * (hi - lo)  # recognizable, strictly inside bounds
+
+    class StubObj:
+        """Minimal objective: quadratic distance to a target; records
+        every evaluated candidate row."""
+
+        def __init__(self, die_on_first=False):
+            self.spec = spec
+            self.rows = []
+            self.die = die_on_first
+
+        def evaluate_batch(self, X):
+            if self.die:
+                self.die = False
+                raise RuntimeError("simulated kill mid-generation")
+            X = np.asarray(X, float)
+            self.rows.append(X.copy())
+            f = np.sum((X - 0.1) ** 2, axis=1)
+            g = -np.ones((len(X), 1))  # always feasible
+            return f, g, np.zeros(len(X), int)
+
+        def evaluate(self, x):
+            f, g, n = self.evaluate_batch(np.asarray(x)[None, :])
+            return float(f[0]), g[0], int(n[0])
+
+        def feasible(self, g):
+            return bool(np.all(np.asarray(g) <= 0))
+
+    # run 1: dies during the seeded generation, after the checkpoint
+    with pytest.raises(RuntimeError):
+        global_search(StubObj(die_on_first=True), cfg, seeds=[seed],
+                      rng=np.random.default_rng(11))
+    assert os.path.exists(cfg["trajectoryCheckpointFile"])
+
+    # resume WITHOUT seeds: the checkpoint must restore them
+    obj2 = StubObj()
+    global_search(obj2, cfg, rng=np.random.default_rng(999))
+    evaluated = np.concatenate(obj2.rows)
+    match = np.min(np.linalg.norm(evaluated - np.clip(seed, lo, hi), axis=1))
+    assert match < 1e-12, "seed was not re-injected on resume"

@@ -194,7 +194,9 @@ def test_sdp_infeasible_apriori_recovers(arm, tmp_path):
         f.write(txt)
     idf = run_sdp(bad, samples, limitMassToApriori=0, limitOverallMass=0)
     xf = idf._full_xstd()
-    if idf.sdp.last_status == "optimal":
+    if idf.sdp.last_status.startswith("optimal"):
+        # gap-met solutions are accepted even when the final centering
+        # stalled (status optimal_inexact) — both must be consistent
         assert spatial_consistent(xf, idf.model.num_links)
     else:
         # graceful fallback: a priori kept
@@ -202,3 +204,74 @@ def test_sdp_infeasible_apriori_recovers(arm, tmp_path):
             xf[: idf.model.num_model_params],
             idf.model.xStdModel[: idf.model.num_model_params],
         )
+
+
+def test_sdp_certificate_small(arm):
+    """Every successful solve must carry a KKT-level certificate
+    (VERDICT r2 #6): duality gap met, final Newton decrement at the
+    centering tolerance, iterate strictly inside the shifted cone."""
+    urdf, samples = arm
+    idf = run_sdp(urdf, samples)
+    assert idf.sdp.last_status == "optimal"
+    info = idf.sdp.last_info
+    assert info is not None and info["status"] == "optimal"
+    # lambda-corrected self-concordant gap bound certifies optimality
+    assert info["cert_gap_rel"] < 1e-3
+    assert info["newton_lambda"] < 0.25
+    assert info["max_violation"] <= 0.0
+
+
+def test_sdp_30dof_kkt_certificate(tmp_path):
+    """KKT-level certification at the hardest operating point: the
+    streamed 30-DOF humanoid SDP (observability CAD regularization)
+    must return a certified optimum, not merely a gap-met point
+    (reference context: CLARABEL solving the 29-DOF walkman,
+    CHANGELOG.md:118-120)."""
+    import os
+
+    src = os.path.join(
+        os.path.dirname(__file__), "..", "examples", "models", "humanoid30.urdf"
+    )
+    urdf = str(tmp_path / "humanoid30.urdf")
+    shutil.copy(src, urdf)
+    cache = src + ".regressor.npz"
+    if os.path.exists(cache):
+        shutil.copy(cache, urdf + ".regressor.npz")
+    opt = load_config(None, overrides=dict(
+        verbose=0, floatingBase=1,
+        identifyFrictionSimultaneously=1, identifySymmetricVelFriction=1,
+        useStructuralRegressor=1, randomSamples=2000,
+        materializeRegressor=0, estimateWith="std",
+        constrainToConsistent=1, limitOverallMass=1, limitMassRange=5.0,
+        limitMassToApriori=1, limitMassAprioriBoundary=0.5,
+        cadRegularizationMode="observability",
+    ))
+    idf = Identification(dict(opt), urdf)
+    m = idf.model
+    nd = m.num_dofs
+    N = 2000
+    rng = np.random.default_rng(0)
+    lims = m.limits
+    lo = np.array([lims[j]["lower"] for j in m.jointNames])
+    hi = np.array([lims[j]["upper"] for j in m.jointNames])
+    samples = {
+        "positions": lo + (hi - lo) * rng.random((N, nd)),
+        "velocities": (rng.random((N, nd)) - 0.5) * 2,
+        "accelerations": (rng.random((N, nd)) - 0.5) * 2,
+        "torques": np.zeros((N, nd)),
+        "times": np.arange(N) / 200.0, "frequency": np.float64(200.0),
+        "base_rpy": np.zeros((N, 3)), "base_velocity": np.zeros((N, 6)),
+        "base_acceleration": np.zeros((N, 6)),
+    }
+    tau = m.simulate_dynamics(samples, np.arange(N))
+    samples["torques"] = tau[:, 6:] + rng.normal(0, 0.05, (N, nd))
+    idf.data.init_from_data(dict(samples))
+    idf.estimateParameters()
+    assert idf.sdp.last_status == "optimal"
+    info = idf.sdp.last_info
+    assert info is not None and info["status"] == "optimal"
+    # lambda-corrected self-concordant gap bound certifies optimality
+    assert info["cert_gap_rel"] < 1e-3
+    assert info["newton_lambda"] < 0.25
+    assert info["max_violation"] <= 0.0
+    assert idf.res_error < 5.0
