@@ -46,6 +46,8 @@ DEFAULTS: dict[str, Any] = {
     "trajectoryCoeffInit": 0.4,
     "trajectoryCoeffMin": -0.5,
     "trajectoryCoeffMax": 0.5,
+    # scalar, or {jointName: value} for per-joint excitation targets
+    # (also trajectoryTargetTorqueUtil and minVelocityPercentage)
     "trajectoryTargetVelocity": 0.0,
     "globalOptAmplitudeRepair": 1,
     "trajectorySeedSolutions": [],
