@@ -70,8 +70,11 @@ class Identification:
                 self.model._add_friction_from_urdf(self.xStdReal, tree_real)
 
         self.validation_file = validation_file
-        self.tauEstimated: np.ndarray | None = None
-        self.tauAPriori: np.ndarray | None = None
+        self._tauEstimated: np.ndarray | None = None
+        self._tau_lazy_x: np.ndarray | None = None
+        self._tauAPriori: np.ndarray | None = None
+        self._tauAP_lazy_x: np.ndarray | None = None
+        self._last_resid: tuple | None = None
         self.p_sigma_x: np.ndarray | None = None
         self.res_error = 100.0
 
@@ -82,6 +85,62 @@ class Identification:
             self.sdp = SDP(self)
 
     # ------------------------------------------------------------------
+    # tau_hat series are LAZY in streaming mode: the estimation flow only
+    # needs residual norms (computed on device by Model.residual_stats);
+    # the (N, rows) series is fetched through the relay only when a
+    # renderer / plot / test actually reads it
+    @property
+    def tauEstimated(self) -> np.ndarray | None:
+        if self._tauEstimated is None and self._tau_lazy_x is not None:
+            m = self.model
+            tauEst = (
+                m.contract_identified(self._tau_lazy_x).reshape(-1)
+                + m.contactForcesSum
+            )
+            self._tauEstimated = tauEst.reshape(
+                self.data.num_used_samples, m.num_dofs + m.fb
+            )
+        return self._tauEstimated
+
+    @tauEstimated.setter
+    def tauEstimated(self, v) -> None:
+        self._tauEstimated = v
+        self._tau_lazy_x = None
+
+    @property
+    def tauAPriori(self) -> np.ndarray | None:
+        if self._tauAPriori is None and self._tauAP_lazy_x is not None:
+            m = self.model
+            tauAP = (
+                m.contract_identified(self._tauAP_lazy_x).reshape(-1)
+                + m.contactForcesSum
+            )
+            self._tauAPriori = tauAP.reshape(
+                self.data.num_used_samples, m.num_dofs + m.fb
+            )
+        return self._tauAPriori
+
+    @tauAPriori.setter
+    def tauAPriori(self, v) -> None:
+        self._tauAPriori = v
+        self._tauAP_lazy_x = None
+
+    def _x_for(self, estimateWith: str) -> np.ndarray:
+        """Identified-space parameter vector for an estimateWith mode."""
+        opt = self.opt
+        m = self.model
+        if estimateWith == "urdf":
+            return np.asarray(m.xStdModel[m.identified_params], dtype=float)
+        if estimateWith == "base_essential":
+            Pb = m.B if opt["useBasisProjection"] else m.Pb
+            return np.asarray(Pb @ self.xBase_essential, dtype=float)
+        if estimateWith == "base":
+            Pb = m.B if opt["useBasisProjection"] else m.Pb
+            return np.asarray(Pb @ m.xBase, dtype=float)
+        if estimateWith in ("std", "std_direct"):
+            return np.asarray(m.xStd, dtype=float)
+        raise ValueError(f"unknown estimateWith: {estimateWith}")
+
     def estimateRegressorTorques(self, estimateWith: str | None = None) -> None:
         """tau_hat = Y x (+ contacts + separate friction); reference
         identifier.py:127-240."""
@@ -90,6 +149,25 @@ class Identification:
         if not estimateWith:
             estimateWith = opt["estimateWith"]
         streaming = m.YStd is None
+        # separate (non-regressor) friction is added to the series on
+        # host — those modes keep the materializing path
+        sep_fric = not opt["identifyFrictionSimultaneously"] and estimateWith in (
+            "std", "std_direct", "urdf"
+        )
+        if streaming and not sep_fric:
+            x = self._x_for(estimateWith)
+            st = m.residual_stats([x])
+            if st is not None:
+                st = st[0]
+                self._last_resid = (estimateWith, st)
+                self.base_error = st["bn"] / self.data.num_used_samples
+                self._tauEstimated = None
+                self._tau_lazy_x = x
+                if estimateWith == "urdf":
+                    self._tauAPriori = None
+                    self._tauAP_lazy_x = x
+                return
+        self._last_resid = None
         if estimateWith == "urdf":
             x_id = m.xStdModel[m.identified_params]
             tauEst = m.contract_identified(x_id).reshape(-1) if streaming else m.YStd @ x_id
@@ -157,6 +235,13 @@ class Identification:
         """Relative stddev per base parameter (Zak 1994; reference
         identifier.py:343-370)."""
         m = self.model
+        lr = self._last_resid
+        if lr is not None:
+            # device-computed residual powers from the preceding
+            # estimateRegressorTorques call — no series materialization
+            st = lr[1]
+            rho = float(np.sum(st["rp"] if self.opt["useAPriori"] else st["pp"]))
+            return self._stddev_rho(rho)
         if self.opt["useAPriori"]:
             tauDiff = m.tauMeasured - self.tauEstimated
         else:
@@ -164,9 +249,11 @@ class Identification:
         return self._stddev(tauDiff)
 
     def _stddev(self, tauDiff) -> np.ndarray:
+        return self._stddev_rho(float(np.square(np.linalg.norm(tauDiff))))
+
+    def _stddev_rho(self, rho: float) -> np.ndarray:
         m = self.model
         r = self.data.num_used_samples * (m.num_dofs + m.fb)
-        rho = float(np.square(np.linalg.norm(tauDiff)))
         sigma_rho = rho / max(r - m.num_base_params, 1)
         G_base = m.G_base if m.YBase is None else m.YBase.T @ m.YBase
         C_xx = sigma_rho * np.linalg.pinv(G_base)
@@ -249,6 +336,7 @@ class Identification:
             # above — recomputing it here costs a full streamed
             # re-contraction at 30 DOF.)
             self.p_sigma_x = self.getStdDevForParams()
+            lr = self._last_resid
             if custom_system:
                 # weight the SYSTEM that was passed in (e.g. Ayusawa
                 # base-wrench rows): its channels and residuals, not the
@@ -256,11 +344,16 @@ class Identification:
                 res = np.asarray(tau - YBase @ m.xBase).reshape(
                     self.data.num_used_samples, -1
                 )
+                sigma_ch = np.sqrt(np.mean(res**2, axis=0))
+            elif lr is not None and lr[0] == "base":
+                # per-channel residual powers straight from the device
+                # stats of the estimateRegressorTorques("base") call
+                sigma_ch = np.sqrt(lr[1]["rp"] / self.data.num_used_samples)
             else:
                 res = (m.tauMeasured - self.tauEstimated).reshape(
                     self.data.num_used_samples, m.num_dofs + m.fb
                 )
-            sigma_ch = np.sqrt(np.mean(res**2, axis=0))
+                sigma_ch = np.sqrt(np.mean(res**2, axis=0))
             w_ch = 1.0 / np.maximum(sigma_ch, 1e-12)
             if m.YBase is None:
                 # streaming mode: sigmas come from the streamed residual
@@ -584,11 +677,13 @@ class Identification:
 
         if opt["useEssentialParams"]:
             self.identifyBaseParameters()
+            _mark("ols_wls")
             self.findBaseEssentialParameters()
             if opt["useAPriori"]:
                 self.getBaseParamsFromParamError()
             self.findStdFromBaseEssParameters()
             self.identifyStandardEssentialParameters()
+            _mark("essential")
         else:
             if opt["floatingBase"] and opt.get("useBaseWrenchForBaseParams", 0):
                 YBase_bw, tau_bw = self._extractBaseWrenchRows()
@@ -633,9 +728,10 @@ class Identification:
                 self._postIdentifyFriction()
 
         if m.YStd is None:
-            # streaming: compute both reporting contractions (a-priori +
-            # identified) in ONE pass over the data — building Y
-            # dominates and would otherwise run twice
+            # streaming: both reporting quantities (a-priori + identified)
+            # in ONE device pass — residual stats when the cached
+            # regressor stack serves them (series stay lazy), else the
+            # fused contraction prefetch
             xs = [np.asarray(m.xStdModel[m.identified_params], dtype=float)]
             ew = opt["estimateWith"]
             if ew in ("std", "std_direct") and len(m.xStd):
@@ -646,10 +742,23 @@ class Identification:
             elif ew == "base_essential" and hasattr(self, "xBase_essential"):
                 Pb = m.B if opt["useBasisProjection"] else m.Pb
                 xs.append(np.asarray(Pb @ self.xBase_essential, dtype=float))
-            m.prefetch_contractions(xs)
+            sep_fric = not opt["identifyFrictionSimultaneously"]
+            if sep_fric or m.residual_stats(xs) is None:
+                m.prefetch_contractions(xs)
         self.estimateRegressorTorques("urdf")
         self.estimateRegressorTorques()
-        self.res_error = helpers.relative_error_pct(m.tauMeasured, self.tauEstimated)
+        lr = self._last_resid
+        if lr is not None:
+            st = lr[1]
+            den = float(np.sqrt(np.sum(st["tp"])))
+            self.res_error = (
+                float(100.0 * np.sqrt(np.sum(st["rp"])) / den)
+                if den > 0 else float("inf")
+            )
+        else:
+            self.res_error = helpers.relative_error_pct(
+                m.tauMeasured, self.tauEstimated
+            )
         _mark("reporting")
 
     # ------------------------------------------------------------------

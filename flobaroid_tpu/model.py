@@ -374,6 +374,8 @@ class Model:
         opt = self.opt
         self.data = data
         self._contract_cache = {}  # contractions are per-dataset
+        self._resid_cache = {}  # residual stats are per-dataset
+        self._agg_cache = {}  # Gram aggregates are per-dataset
         self._staged = None  # staged device inputs are per-dataset
         nd, fb = self.num_dofs, self.fb
         rows = nd + fb
@@ -432,17 +434,25 @@ class Model:
         if "contacts" in samples and np.asarray(samples["contacts"]).ndim == 0:
             cdict = samples["contacts"].item(0)
             num_contacts = len(cdict)
-            for frame, wrench in cdict.items():
-                li = self.tree.link_index.get(str(frame))
-                if li is None:
-                    continue
-                w = np.asarray(wrench)[idx]
-                # J^T w contracted ON DEVICE: fetching the stacked
-                # Jacobians (N, 6+nd, 6) cost ~2 s/frame at walking-log
-                # scale through the relay; the contraction result is 6x
-                # smaller
-                contrib = self._contact_torques(li, Q, BR, w)  # (N, 6+nd)
-                contacts_sum += contrib[:, -rows:]
+            frames = [
+                (li, np.asarray(wrench)[idx])
+                for frame, wrench in cdict.items()
+                if (li := self.tree.link_index.get(str(frame))) is not None
+            ]
+            # J^T w contracted ON DEVICE: fetching the stacked Jacobians
+            # (N, 6+nd, 6) cost ~2 s/frame at walking-log scale through
+            # the relay; the contraction result is 6x smaller. With
+            # staged streaming chunks, ALL frames go in one dispatch.
+            if frames and streaming and staged["stacks"] is not None:
+                lis = [li for li, _ in frames]
+                W = np.stack([w for _, w in frames], axis=1)  # (N, F, 6)
+                contacts_sum += self._contact_torques_sum_staged(
+                    lis, staged, W
+                )[:, -rows:]
+            else:
+                for li, w in frames:
+                    contrib = self._contact_torques(li, Q, BR, w)  # (N, 6+nd)
+                    contacts_sum += contrib[:, -rows:]
         self.contactForcesSum = contacts_sum.reshape(-1)
 
         if fb:
@@ -572,11 +582,10 @@ class Model:
                     Y = eng.regressor_batch(Q, V, A)
                 return self._identified_columns_traced(Y, V, sign, vsig)
 
-            def gram_chunk(Q, V, A, BR, BV, BA, sign, vsig, tau, cf, mask):
+            def gram_from_Y(Y, tau, cf, mask):
                 # per-output-channel Grams (r = wrench axis / joint): the
                 # channel axis costs nothing extra in FLOPs and enables
                 # WLS reweighting without a second data pass
-                Y = build_Y(Q, V, A, BR, BV, BA, sign, vsig)
                 Yw = Y * mask[:, :, None]
                 G = jnp.einsum("nrp,nrq->rpq", Yw, Yw,
                                precision=jax.lax.Precision.HIGHEST)
@@ -585,6 +594,10 @@ class Model:
                 gcf = jnp.einsum("nrp,nr->rp", Yw, cf,
                                  precision=jax.lax.Precision.HIGHEST)
                 return G, g, gcf
+
+            def gram_chunk(Q, V, A, BR, BV, BA, sign, vsig, tau, cf, mask):
+                Y = build_Y(Q, V, A, BR, BV, BA, sign, vsig)
+                return gram_from_Y(Y, tau, cf, mask)
 
             def contract_chunk(Q, V, A, BR, BV, BA, sign, vsig, x):
                 # x: (K, P) — several parameter vectors share one Y build
@@ -635,6 +648,102 @@ class Model:
                 )
                 return G, g, gcf
 
+            def build_scan(stacks):
+                """Build ALL regressor chunks in one dispatch and keep
+                them device-resident: (n_chunks, chunk, rows, P). Every
+                later quantity of the pass (a-priori sim contraction,
+                Grams, WLS residual, reporting) is then an einsum over
+                this stack instead of a batched-RNEA rebuild — the Y
+                build dominates every streamed dispatch. Memory-gated at
+                the call site (~1.2 GB at 30 DOF)."""
+
+                def step(carry, st):
+                    return carry, build_Y(*unpack(st))
+
+                _, Ystack = jax.lax.scan(step, 0, stacks)
+                return Ystack
+
+            def gram_scan_cached(Ystack, taus, cfs, n_valid):
+                """gram_scan over prebuilt regressor chunks (no RNEA)."""
+
+                n_chunks, chunk = taus.shape[0], taus.shape[1]
+
+                def step(carry, xs):
+                    G, g, gcf = carry
+                    Y, tau, cf, k = xs
+                    valid = (k * chunk + jnp.arange(chunk)) < n_valid
+                    mask = jnp.broadcast_to(
+                        valid.astype(tau.dtype)[:, None], tau.shape
+                    )
+                    Gc, gc, gcfc = gram_from_Y(Y, tau, cf, mask)
+                    return (G + Gc, g + gc, gcf + gcfc), None
+
+                rows = taus.shape[-1]
+                P = Ystack.shape[-1]
+                dt0 = Ystack.dtype
+                init = (
+                    jnp.zeros((rows, P, P), dt0),
+                    jnp.zeros((rows, P), dt0),
+                    jnp.zeros((rows, P), dt0),
+                )
+                (G, g, gcf), _ = jax.lax.scan(
+                    step, init, (Ystack, taus, cfs, jnp.arange(n_chunks))
+                )
+                return G, g, gcf
+
+            def contract_cached(Ystack, xs):
+                return jnp.einsum(
+                    "cnrp,kp->kcnr", Ystack, xs,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+
+            def resid_scan(Ystack, xs, taus, cfs, n_valid):
+                """Residual statistics ON DEVICE for K parameter vectors:
+                rp[k,r] = ||tau_r - Y_r x_k - cf_r||^2 per channel,
+                pp[k,r] = ||Y_r x_k + cf_r||^2, tp[r] = ||tau_r||^2,
+                bn[k] = sum_n ||tau_n - tau_hat_n|| (per-sample norm sum,
+                the reference's CAD-regularization scale). Reporting and
+                WLS need norms, not the (N, rows) series — this avoids
+                the series fetch through the relay. Exact elementwise
+                subtraction per sample: none of the Gram-identity
+                cancellation that made Gram-based residuals unusable in
+                f32."""
+
+                n_chunks, chunk = taus.shape[0], taus.shape[1]
+                K = xs.shape[0]
+                rows = taus.shape[-1]
+
+                def step(carry, xsin):
+                    rp, pp, tp, bn = carry
+                    Y, tau, cf, k = xsin
+                    valid = (
+                        (k * chunk + jnp.arange(chunk)) < n_valid
+                    ).astype(tau.dtype)
+                    pred = (
+                        jnp.einsum("nrp,kp->knr", Y, xs,
+                                   precision=jax.lax.Precision.HIGHEST)
+                        + cf[None]
+                    )
+                    r = (tau[None] - pred) * valid[None, :, None]
+                    p = pred * valid[None, :, None]
+                    rp = rp + jnp.sum(r * r, axis=1)
+                    pp = pp + jnp.sum(p * p, axis=1)
+                    tp = tp + jnp.sum((tau * valid[:, None]) ** 2, axis=0)
+                    bn = bn + jnp.sum(jnp.sqrt(jnp.sum(r * r, axis=2)), axis=1)
+                    return (rp, pp, tp, bn), None
+
+                dt0 = Ystack.dtype
+                init = (
+                    jnp.zeros((K, rows), dt0),
+                    jnp.zeros((K, rows), dt0),
+                    jnp.zeros(rows, dt0),
+                    jnp.zeros(K, dt0),
+                )
+                out, _ = jax.lax.scan(
+                    step, init, (Ystack, taus, cfs, jnp.arange(n_chunks))
+                )
+                return out
+
             def contract_scan(stacks, xs):
                 """tau_hat chunks for K parameter vectors in ONE dispatch:
                 (n_chunks, K, chunk, rows). Padded samples yield garbage
@@ -654,7 +763,11 @@ class Model:
                 gram_chunk=jax.jit(gram_chunk),
                 contract=jax.jit(contract_chunk),
                 gram_scan=jax.jit(gram_scan),
+                build_scan=jax.jit(build_scan),
+                gram_scan_cached=jax.jit(gram_scan_cached),
                 contract_scan=jax.jit(contract_scan),
+                contract_cached=jax.jit(contract_cached),
+                resid_scan=jax.jit(resid_scan),
             )
         return self._regr_jit_cache[key]
 
@@ -744,6 +857,32 @@ class Model:
         self._staged = st
         return st
 
+    def _ensure_ystack(self, staged):
+        """Build (once) and return the device-resident regressor chunk
+        stack for this staged dataset, or None when disabled/oversized
+        (auto gate: Y <= 2 GB) or on the long-recording fallback path.
+        One batched-RNEA build then serves the a-priori sim contraction,
+        the Gram accumulation, the WLS residual and the reporting
+        contractions of the pass."""
+        if staged.get("Ystack") is not None or staged.get("ycache_off"):
+            return staged.get("Ystack")
+        if staged["stacks"] is None:
+            staged["ycache_off"] = True
+            return None
+        opt = self.opt
+        cache_y = int(opt.get("cacheRegressorDevice", -1))
+        if cache_y < 0:
+            dt = self._compute_dtype()
+            y_bytes = (staged["n_pad"] * staged["rows"]
+                       * self.num_identified_params * np.dtype(dt).itemsize)
+            cache_y = int(y_bytes <= (2 << 30))
+        if not cache_y:
+            staged["ycache_off"] = True
+            return None
+        fns = self._streaming_fns(bool(opt["floatingBase"]))
+        staged["Ystack"] = fns["build_scan"](staged["stacks"])
+        return staged["Ystack"]
+
     def _scan_contract(self, staged, xs) -> np.ndarray:
         """(K, N, rows) torque contractions tau_hat = Y @ x_k over the
         staged chunks — one dispatch on the scan path."""
@@ -755,6 +894,11 @@ class Model:
         N, rows = staged["N"], staged["rows"]
         K = len(xs)
         xj = jnp.asarray(np.stack(xs), dt)
+        Yst = self._ensure_ystack(staged)
+        if Yst is not None:
+            outs = np.asarray(fns["contract_cached"](Yst, xj),
+                              dtype=float)  # (K, n_chunks, chunk, rows)
+            return outs.reshape(K, staged["n_pad"], rows)[:, :N]
         if staged["stacks"] is not None:
             outs = np.asarray(fns["contract_scan"](staged["stacks"], xj),
                               dtype=float)  # (n_chunks, K, chunk, rows)
@@ -801,12 +945,24 @@ class Model:
             # _set_streaming_aggregates), not the (rows,P,P) tensor
             # (~20 MB at 30 DOF — measured 0.8 s of the 1.8 s warm
             # computeRegressors was that fetch).
-            G, g, gcf = fns["gram_scan"](
-                staged["stacks"],
-                stackc(pad(tau2d)),
-                stackc(pad(cf2d)),
-                jnp.asarray(N, dt),
-            )
+            # with the regressor chunks cached on device (auto when Y
+            # <= 2 GB) the Gram accumulation is einsum-only; all dispatch
+            # paths of the pass share that one batched-RNEA build
+            Yst = self._ensure_ystack(staged)
+            if Yst is not None:
+                G, g, gcf = fns["gram_scan_cached"](
+                    Yst,
+                    stackc(pad(tau2d)),
+                    stackc(pad(cf2d)),
+                    jnp.asarray(N, dt),
+                )
+            else:
+                G, g, gcf = fns["gram_scan"](
+                    staged["stacks"],
+                    stackc(pad(tau2d)),
+                    stackc(pad(cf2d)),
+                    jnp.asarray(N, dt),
+                )
         else:
             # very long recordings: accumulate on host in f64 (an f32
             # carry over hundreds of chunks would lose Gram precision)
@@ -847,6 +1003,17 @@ class Model:
         w_r²). Refreshes both std- and base-space quantities."""
         opt = self.opt
         w2 = np.asarray(w2, dtype=float)
+        # WLS re-aggregates twice per solve (weights, then restore to
+        # ones) — memoize the aggregates per weight vector (tiny: two
+        # (P,P)/(P,) sets per dataset)
+        key = hash(w2.tobytes())
+        cache = getattr(self, "_agg_cache", None)
+        if cache is None:
+            cache = self._agg_cache = {}
+        if key in cache:
+            (self.G_std, self.g_tau, self.g_cf, self.tau_sq, self.tau_cf,
+             self.cf_sq, self.G_base, self.g_base, self.g_cf_base) = cache[key]
+            return
         if not isinstance(self.G_rows, np.ndarray):
             # device-resident per-channel Grams (streaming fast path):
             # contract on device, fetch only the (P,P)/(P,) aggregates
@@ -879,6 +1046,9 @@ class Model:
         self.G_base = Pb.T @ self.G_std @ Pb
         self.g_base = Pb.T @ self.g_tau
         self.g_cf_base = Pb.T @ self.g_cf
+        cache[key] = (self.G_std, self.g_tau, self.g_cf, self.tau_sq,
+                      self.tau_cf, self.cf_sq, self.G_base, self.g_base,
+                      self.g_cf_base)
 
 
     def contract_identified(self, x_identified) -> np.ndarray:
@@ -895,6 +1065,49 @@ class Model:
             res = self.contract_identified_multi([x])[0]
             cache[key] = res
         return cache[key]
+
+    def residual_stats(self, xs):
+        """Device-computed residual statistics for K parameter vectors
+        against the measured torques (+ contact correction): list of
+        dicts {rp (rows,), pp (rows,), tp (rows,), bn scalar} — see
+        resid_scan. Returns None when the cached regressor stack is not
+        available (caller falls back to materializing tau_hat). Cached
+        per parameter vector until the next computeRegressors."""
+        staged = getattr(self, "_staged", None)
+        if staged is None or staged["N"] != self.data.num_used_samples:
+            return None
+        Yst = self._ensure_ystack(staged)
+        if Yst is None:
+            return None
+        import jax.numpy as jnp
+
+        xs = [np.asarray(x, dtype=float) for x in xs]
+        cache = getattr(self, "_resid_cache", None)
+        if cache is None:
+            cache = self._resid_cache = {}
+        missing = [x for x in xs if hash(x.tobytes()) not in cache]
+        if missing:
+            opt = self.opt
+            dt = self._compute_dtype()
+            N, rows = staged["N"], staged["rows"]
+            if "taum_stack" not in staged:
+                taum = np.asarray(self.tauMeasured, dtype=float)
+                cf2d = self.contactForcesSum.reshape(N, rows)
+                staged["taum_stack"] = staged["stackc"](staged["pad"](taum))
+                staged["cfm_stack"] = staged["stackc"](staged["pad"](cf2d))
+            fns = self._streaming_fns(bool(opt["floatingBase"]))
+            xj = jnp.asarray(np.stack(missing), dt)
+            rp, pp, tp, bn = fns["resid_scan"](
+                Yst, xj, staged["taum_stack"], staged["cfm_stack"],
+                jnp.asarray(N, dt),
+            )
+            rp, pp, bn = (np.asarray(a, dtype=float) for a in (rp, pp, bn))
+            tp = np.asarray(tp, dtype=float)
+            for i, x in enumerate(missing):
+                cache[hash(x.tobytes())] = dict(
+                    rp=rp[i], pp=pp[i], tp=tp, bn=float(bn[i])
+                )
+        return [cache[hash(x.tobytes())] for x in xs]
 
     def prefetch_contractions(self, xs) -> None:
         """Compute several contractions in ONE pass over the data (the
@@ -969,6 +1182,62 @@ class Model:
             )
             parts.append(np.asarray(out, dtype=float)[:n_here])
         return np.concatenate(parts)
+
+    def _contact_torques_sum_staged(self, link_indices, staged, W):
+        """Sum_f J_f^T w_f over ALL contact frames in ONE dispatch from
+        the staged device chunks (the per-frame chunked path costs ~0.7 s
+        per frame at walking-log scale through the runtime relay — its
+        dispatches re-stage Q/BR from host each time). W: (N, F, 6) host.
+        Returns (N, 6+nd) (reference model.py:535-555)."""
+        import jax.numpy as jnp
+
+        eng = self.engine
+        floating = bool(self.opt["floatingBase"])
+        key = ("contactSumScan", tuple(link_indices), floating)
+        if key not in self._regr_jit_cache:
+
+            def per_sample(q, br, w):
+                out = jnp.zeros(6 + self.num_dofs, dtype=q.dtype)
+                for f, li in enumerate(link_indices):
+                    J = (eng.frame_jacobian(li, q, br) if floating
+                         else eng.frame_jacobian(li, q))
+                    out = out + J.T @ w[f]
+                return out
+
+            if floating:
+
+                def scan_fn(Qs, BRs, Ws):
+                    def step(carry, xs):
+                        q, br, w = xs
+                        return carry, jax.vmap(per_sample)(q, br, w)
+
+                    _, out = jax.lax.scan(step, 0, (Qs, BRs, Ws))
+                    return out
+            else:
+
+                def scan_fn(Qs, Ws):
+                    def step(carry, xs):
+                        q, w = xs
+                        return carry, jax.vmap(
+                            lambda qq, ww: per_sample(qq, None, ww)
+                        )(q, w)
+
+                    _, out = jax.lax.scan(step, 0, (Qs, Ws))
+                    return out
+
+            self._regr_jit_cache[key] = jax.jit(scan_fn)
+        fn = self._regr_jit_cache[key]
+        # (N, F, 6) -> (n_chunks, chunk, F, 6) on device; frame axis
+        # stays dense so every frame shares the one FK per sample
+        Ws = staged["stackc"](staged["pad"](np.asarray(W, dtype=float)))
+        stacks = staged["stacks"]
+        if floating:
+            out = fn(stacks[0], stacks[3], Ws)
+        else:
+            out = fn(stacks[0], Ws)
+        return np.asarray(out, dtype=float).reshape(
+            staged["n_pad"], 6 + self.num_dofs
+        )[: staged["N"]]
 
     def _contact_jacobians(self, link_index: int, Q: np.ndarray, BR):
         """Batched frame Jacobians, transposed: (N, 6+nd, 6) J^T rows.
@@ -1160,6 +1429,8 @@ class Model:
         matrix K = Pb^T + Kd Pd^T (Gautier/Sousa), optional orthonormal
         basis B, non-identifiable parameter set."""
         opt = self.opt
+        # Pb/B/K change here — cached base-space Gram aggregates are stale
+        self._agg_cache = {}
         if regressor is not None:
             Y = regressor
             self.Q, self.R, self.P = sla.qr(Y, pivoting=True, mode="economic")

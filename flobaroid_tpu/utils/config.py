@@ -174,6 +174,9 @@ DEFAULTS: dict[str, Any] = {
     "computeDtype": "float32",  # on-device regressor/Gram dtype
     "gramChunk": 4096,  # samples per on-device Gram accumulation chunk
     "materializeRegressor": 1,  # keep the stacked YStd (else stream Gram only)
+    # streaming mode: keep the built regressor chunks device-resident so
+    # reporting/WLS contractions reuse them (-1 auto: when Y <= 2 GB)
+    "cacheRegressorDevice": -1,
     "shardSamples": 0,  # shard the sample axis over the device mesh
     "shardCandidates": 0,  # shard global-search candidate batches over devices
     # mid-optimization checkpoint/resume for the trajectory optimizer

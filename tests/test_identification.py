@@ -302,6 +302,33 @@ def test_streaming_gram_matches_materialized(kuka_tmp):
     assert abs(idf_s.res_error - idf_m.res_error) < 0.05
 
 
+def test_streaming_y_cache_matches_rebuild(kuka_tmp):
+    """cacheRegressorDevice=1 keeps the built regressor chunks on device
+    and serves reporting/WLS contractions from them; results must match
+    the rebuild-every-contraction path exactly (same staged inputs, same
+    build function — only reuse differs)."""
+    samples, _ = synth_samples(kuka_tmp, n=900, noise=0.05, seed=83)
+    base = dict(floatingBase=0, materializeRegressor=0, gramChunk=256,
+                useWLS=1)
+    opt_c = base_opt(**base, cacheRegressorDevice=1)
+    idf_c = Identification(opt_c, kuka_tmp)
+    idf_c.data.init_from_data(dict(samples))
+    idf_c.estimateParameters()
+    assert idf_c.model._staged.get("Ystack") is not None
+
+    opt_r = base_opt(**base, cacheRegressorDevice=0)
+    idf_r = Identification(opt_r, kuka_tmp)
+    idf_r.data.init_from_data(dict(samples))
+    idf_r.estimateParameters()
+    assert idf_r.model._staged.get("Ystack") is None
+
+    np.testing.assert_allclose(idf_c.model.xBase, idf_r.model.xBase,
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(idf_c.tauEstimated, idf_r.tauEstimated,
+                               rtol=1e-9, atol=1e-12)
+    assert abs(idf_c.res_error - idf_r.res_error) < 1e-9
+
+
 def test_streaming_long_recording_fallback(kuka_tmp):
     """>64 chunks takes the host-accumulation path (and per-chunk
     reporting contractions) instead of the one-dispatch scan — both
