@@ -67,6 +67,25 @@ class BarrierProblem:
 _LS_STEPS = 0.5 ** np.arange(40)
 
 
+def _certificate_status(nu, t, t_cert, lam_cert, f0_scale):
+    """Shared KKT-certificate policy for both solvers (one copy of the
+    thresholds): the self-concordant bound (nu + sqrt(nu) lam)/t_cert
+    holds when the certificate rung centred to lam < 1; 'optimal' needs
+    the bound under 1e-3*f0 AND a quadratic-zone decrement (lam < 0.25);
+    gap-met-but-uncentred maps to the distinct 'optimal_inexact'."""
+    gap = nu / t
+    cert_gap = (
+        (nu + np.sqrt(nu) * lam_cert) / t_cert if lam_cert < 1.0 else np.inf
+    )
+    if cert_gap < 1e-3 * f0_scale and lam_cert < 0.25:
+        status = "optimal"
+    elif gap < 1e-3 * f0_scale:
+        status = "optimal_inexact"
+    else:
+        status = "max_iter"
+    return gap, cert_gap, status
+
+
 def stack_affine_psd(psd_maps, n: int):
     """Probe affine maps x -> (d,d) into stacked tensors grouped by
     block size: [(F0 (K,d,d), F (K,d,d,n)), ...]. One jacfwd trace per
@@ -170,6 +189,13 @@ class _BarrierCore:
             ev = jnp.linalg.eigvalsh(M)
             s = jnp.maximum(s, -jnp.min(ev))
         return s
+
+    def feas_slack_jit(self):
+        """Cached jitted feas_slack (a fresh jax.jit per call would
+        recompile for every solve sharing this core)."""
+        if not hasattr(self, "_fs_jit"):
+            self._fs_jit = jax.jit(self.feas_slack)
+        return self._fs_jit
 
 
 class QuadBarrierSolver:
@@ -325,6 +351,7 @@ class QuadBarrierSolver:
                     print(f"  stage t={t:.3g} newton_iters={int(it)} "
                           f"dec={float(dec):.3g} {_time.time()-_t0:.3f}s")
                 if stop_fn is not None and stop_fn(np.asarray(x)):
+                    self.last_info = {"status": "stopped"}
                     return np.asarray(x), "stopped"
                 if x_cert is None and t >= t_cert_target:
                     _t0 = _time.time()
@@ -356,20 +383,10 @@ class QuadBarrierSolver:
                 x_cert, lam_cert, t_cert = x, np.inf, t
             f_c = float(0.5 * x_cert @ (Hj @ x_cert) + qj @ x_cert)
             x_ret = x if f_hi <= f_c else x_cert
-            gap = nu / t
             viol = float(self._feas_slack(x_ret))
-            cert_gap = (
-                (nu + np.sqrt(nu) * lam_cert) / t_cert
-                if lam_cert < 1.0 else np.inf
+            gap, cert_gap, status = _certificate_status(
+                nu, t, t_cert, lam_cert, f0_scale
             )
-            if cert_gap < 1e-3 * f0_scale and lam_cert < 0.25:
-                status = "optimal"
-            elif gap < 1e-3 * f0_scale:
-                # gap criterion met but the certificate rung did not
-                # reach the quadratic zone — distinct status, usable
-                status = "optimal_inexact"
-            else:
-                status = "max_iter"
             self.last_info = {
                 "gap": float(gap),
                 "gap_rel": float(gap / f0_scale),
@@ -537,12 +554,17 @@ def barrier_minimize(
     x_cert = None
     lam_cert = np.inf
     t_cert = t_cert_target
+    def _stopped(x):
+        if info is not None:
+            info.update(status="stopped")
+        return np.asarray(x), "stopped"
+
     for _outer in range(max_outer):
         if stop_fn is not None and stop_fn(np.asarray(x)):
-            return np.asarray(x), "stopped"
+            return _stopped(x)
         x, _, _, _ = newton_run(x, t, newton_tol, max_newton, 0.95)
         if stop_fn is not None and stop_fn(np.asarray(x)):
-            return np.asarray(x), "stopped"
+            return _stopped(x)
         if x_cert is None and t >= t_cert_target:
             x, _, dec_c, _ = newton_run(x, t, newton_tol, 2 * max_newton, 2.0)
             dec_v = float(dec_c) if np.isfinite(float(dec_c)) else np.inf
@@ -558,17 +580,10 @@ def barrier_minimize(
         x_cert, lam_cert, t_cert = x, np.inf, t
     f_c = float(prob.objective(x_cert))
     x_ret = x if f_hi <= f_c else x_cert
-    gap = nu / t
-    viol = float(jax.jit(core.feas_slack)(x_ret))
-    cert_gap = (
-        (nu + np.sqrt(nu) * lam_cert) / t_cert if lam_cert < 1.0 else np.inf
+    viol = float(core.feas_slack_jit()(x_ret))
+    gap, cert_gap, status = _certificate_status(
+        nu, t, t_cert, lam_cert, f0_scale
     )
-    if cert_gap < 1e-3 * f0_scale and lam_cert < 0.25:
-        status = "optimal"
-    elif gap < 1e-3 * f0_scale:
-        status = "optimal_inexact"
-    else:
-        status = "max_iter"
     if info is not None:
         info.update(
             gap=float(gap), gap_rel=float(gap / f0_scale),
@@ -579,14 +594,17 @@ def barrier_minimize(
     return np.asarray(x_ret), status
 
 
-def phase1(prob: BarrierProblem, x0: np.ndarray, margin: float = 1e-8, verbose=False):
+def phase1(prob: BarrierProblem, x0: np.ndarray, margin: float = 1e-8, verbose=False,
+           _groups=None, _core: _BarrierCore | None = None):
     """Find a strictly feasible point by minimizing the max violation s:
     g <= s, M_k + s I >> eps I. Returns (x, feasible: bool)."""
     n = len(x0)
     x0 = np.asarray(x0, dtype=float)
-    groups = stack_affine_psd(prob.psd_maps, n)
-    core = _BarrierCore(prob.A, prob.b, groups, prob.psd_eps, n)
-    s0 = float(jax.jit(core.feas_slack)(jnp.asarray(x0, jnp.float64)))
+    groups = stack_affine_psd(prob.psd_maps, n) if _groups is None else _groups
+    core = _core if _core is not None else _BarrierCore(
+        prob.A, prob.b, groups, prob.psd_eps, n
+    )
+    s0 = float(core.feas_slack_jit()(jnp.asarray(x0, jnp.float64)))
     if s0 <= 0:
         return x0, True
 
@@ -639,10 +657,17 @@ def solve(prob: BarrierProblem, x0: np.ndarray, verbose: bool = False,
     parameter-space solve needs neither). Returns (x, status)."""
     cpu = jax.devices("cpu")[0]
     with jax.enable_x64(True), jax.default_device(cpu):
-        x_feas, ok = phase1(prob, x0, verbose=verbose)
+        # probe the affine PSD structure ONCE and share the barrier core
+        # between phase-I and the main path (each used to rebuild it)
+        n = len(x0)
+        groups = stack_affine_psd(prob.psd_maps, n)
+        core = _BarrierCore(prob.A, prob.b, groups, prob.psd_eps, n)
+        x_feas, ok = phase1(prob, x0, verbose=verbose, _groups=groups, _core=core)
         if not ok:
             if info is not None:
                 info.update(status="infeasible")
             return np.asarray(x0), "infeasible"
-        x, status = barrier_minimize(prob, x_feas, verbose=verbose, info=info, **kw)
+        x, status = barrier_minimize(
+            prob, x_feas, verbose=verbose, info=info, _core=core, **kw
+        )
     return x, status

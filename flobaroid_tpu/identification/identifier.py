@@ -168,24 +168,17 @@ class Identification:
                     self._tauAP_lazy_x = x
                 return
         self._last_resid = None
-        if estimateWith == "urdf":
-            x_id = m.xStdModel[m.identified_params]
-            tauEst = m.contract_identified(x_id).reshape(-1) if streaming else m.YStd @ x_id
+        if streaming:
+            # base/essential params expand to std space for the contraction
+            tauEst = m.contract_identified(self._x_for(estimateWith)).reshape(-1)
+        elif estimateWith == "urdf":
+            tauEst = m.YStd @ m.xStdModel[m.identified_params]
         elif estimateWith == "base_essential":
-            if streaming:
-                Pb = m.B if opt["useBasisProjection"] else m.Pb
-                tauEst = m.contract_identified(Pb @ self.xBase_essential).reshape(-1)
-            else:
-                tauEst = m.YBase @ self.xBase_essential
+            tauEst = m.YBase @ self.xBase_essential
         elif estimateWith == "base":
-            if streaming:
-                # base params expand to std space for the contraction
-                Pb = m.B if opt["useBasisProjection"] else m.Pb
-                tauEst = m.contract_identified(Pb @ m.xBase).reshape(-1)
-            else:
-                tauEst = m.YBase @ m.xBase
+            tauEst = m.YBase @ m.xBase
         elif estimateWith in ("std", "std_direct"):
-            tauEst = m.contract_identified(m.xStd).reshape(-1) if streaming else m.YStd @ m.xStd
+            tauEst = m.YStd @ m.xStd
         else:
             raise ValueError(f"unknown estimateWith: {estimateWith}")
 
@@ -491,7 +484,13 @@ class Identification:
         xBase_orig = m.xBase.copy()
         self.estimateRegressorTorques("base")
         r = self.data.num_used_samples * (m.num_dofs + m.fb)
-        rho = float(np.square(np.linalg.norm(m.tauMeasured - self.tauEstimated)))
+        lr = self._last_resid
+        if lr is not None and lr[0] == "base":
+            # device residual powers from the call above — no (N, rows)
+            # series materialization through the relay
+            rho = float(np.sum(lr[1]["rp"]))
+        else:
+            rho = float(np.square(np.linalg.norm(m.tauMeasured - self.tauEstimated)))
         G0 = np.asarray(m.G_base)
         rhs0 = np.asarray(m.g_base - m.g_cf_base)
         kept = list(range(m.num_base_params))
@@ -742,9 +741,20 @@ class Identification:
             elif ew == "base_essential" and hasattr(self, "xBase_essential"):
                 Pb = m.B if opt["useBasisProjection"] else m.Pb
                 xs.append(np.asarray(Pb @ self.xBase_essential, dtype=float))
-            sep_fric = not opt["identifyFrictionSimultaneously"]
-            if sep_fric or m.residual_stats(xs) is None:
-                m.prefetch_contractions(xs)
+            # split by the SAME per-mode gate estimateRegressorTorques
+            # uses: modes with separate (host-added) friction materialize
+            # their series; the rest are served by device stats — warming
+            # exactly one path per mode (no double data pass)
+            sep = not opt["identifyFrictionSimultaneously"]
+            modes = ["urdf"] + ([ew] if len(xs) > 1 else [])
+            mats = [x for mo, x in zip(modes, xs)
+                    if sep and mo in ("std", "std_direct", "urdf")]
+            stats = [x for mo, x in zip(modes, xs)
+                     if not (sep and mo in ("std", "std_direct", "urdf"))]
+            if stats and m.residual_stats(stats) is None:
+                mats = xs
+            if mats:
+                m.prefetch_contractions(mats)
         self.estimateRegressorTorques("urdf")
         self.estimateRegressorTorques()
         lr = self._last_resid
