@@ -169,6 +169,33 @@ def test_streaming_contacts_parity(setup):
     assert _rel(idf_str, setup["xb_true"]) < 0.02
 
 
+def test_fused_contact_sum_matches_per_frame(setup):
+    """_contact_torques_sum_staged (all frames, one dispatch from the
+    staged device chunks) must equal the per-frame chunked path sum."""
+    from flobaroid_tpu.identification.identifier import Identification
+
+    idf = _identify(
+        setup, setup["noisy"], materializeRegressor=0, gramChunk=512
+    )
+    m = idf.model
+    staged = m._staged
+    assert staged is not None and staged["stacks"] is not None
+    cdict = setup["noisy"]["contacts"].item(0)
+    skip = int(m.opt["skipSamples"])
+    idx = np.arange(idf.data.num_used_samples) * (skip + 1)
+    Q, V, A, BR, BV, BA = m._gather_state(idf.data.samples, idx)
+    lis, Ws = [], []
+    per_frame = 0.0
+    for frame, wrench in cdict.items():
+        li = m.tree.link_index[str(frame)]
+        w = np.asarray(wrench)[idx]
+        lis.append(li)
+        Ws.append(w)
+        per_frame = per_frame + m._contact_torques(li, Q, BR, w)
+    fused = m._contact_torques_sum_staged(lis, staged, np.stack(Ws, axis=1))
+    np.testing.assert_allclose(fused, per_frame, rtol=1e-5, atol=1e-6)
+
+
 def test_base_wrench_two_step_with_weighting(setup, tmp_path):
     """Ayusawa base-wrench two-step over multiple measurement files with
     per-file inverse-noise weighting (reference identifier.py:617-681):

@@ -329,6 +329,34 @@ def test_streaming_y_cache_matches_rebuild(kuka_tmp):
     assert abs(idf_c.res_error - idf_r.res_error) < 1e-9
 
 
+def test_streaming_data_qr_matches_materialized(kuka_tmp):
+    """useStructuralRegressor=0 derives the base projection from the
+    DATA Gram inside the streaming pass (computeRegressorLinDepsQR runs
+    after the initial aggregates — a stale aggregate cache would corrupt
+    G_base/g_base silently). Must match the materialized data-QR path."""
+    samples, _ = synth_samples(kuka_tmp, n=1000, noise=0.05, seed=91)
+    base = dict(floatingBase=0, useStructuralRegressor=0, useWLS=1)
+    idf_m = Identification(base_opt(**base, materializeRegressor=1), kuka_tmp)
+    idf_m.data.init_from_data(dict(samples))
+    idf_m.estimateParameters()
+
+    idf_s = Identification(
+        base_opt(**base, materializeRegressor=0, gramChunk=256), kuka_tmp
+    )
+    idf_s.data.init_from_data(dict(samples))
+    idf_s.estimateParameters()
+
+    # the pivoted QR of the Gram may pick a DIFFERENT (equally valid)
+    # independent-column permutation than the QR of the stacked
+    # regressor — compare projection-invariant quantities: rank, fit,
+    # and predicted torques
+    assert idf_s.model.num_base_params == idf_m.model.num_base_params
+    assert abs(idf_s.res_error - idf_m.res_error) < 0.05
+    np.testing.assert_allclose(
+        idf_s.tauEstimated, idf_m.tauEstimated, rtol=5e-3, atol=1e-3
+    )
+
+
 def test_streaming_long_recording_fallback(kuka_tmp):
     """>64 chunks takes the host-accumulation path (and per-chunk
     reporting contractions) instead of the one-dispatch scan — both

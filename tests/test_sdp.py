@@ -275,3 +275,27 @@ def test_sdp_30dof_kkt_certificate(tmp_path):
     assert info["newton_lambda"] < 0.25
     assert info["max_violation"] <= 0.0
     assert idf.res_error < 5.0
+
+
+def test_conic_stopped_status_not_stale():
+    """A solve interrupted by stop_fn must report 'stopped' in
+    last_info — not the previous solve's certificate (review r3)."""
+    from flobaroid_tpu.identification.conic import QuadBarrierSolver
+
+    # tiny problem: minimize (x-2)^2 s.t. diag(x) - 0.1 I >= 0 (x >= 0.1)
+    solver = QuadBarrierSolver(
+        A=None, b=None,
+        psd_maps=[lambda x: x[0].reshape(1, 1)],
+        psd_eps=1e-3, n=1,
+    )
+    H = np.array([[2.0]])
+    q = np.array([-4.0])
+    x, status = solver.solve_quadratic(np.array([1.0]), H, q)
+    assert status == "optimal"
+    assert solver.last_info["status"] == "optimal"
+
+    x2, status2 = solver.minimize(
+        np.array([1.0]), H, q, stop_fn=lambda _x: True
+    )
+    assert status2 == "stopped"
+    assert solver.last_info["status"] == "stopped"
