@@ -310,11 +310,20 @@ class QuadBarrierSolver:
         strictly feasible x0. Returns (x, status)."""
         with jax.enable_x64(True), jax.default_device(self._cpu):
             x = jnp.asarray(x0, jnp.float64)
-            Hj = jnp.asarray(H, jnp.float64)
-            qj = jnp.asarray(q, jnp.float64)
             nu = self._nu_val
             f0 = 0.5 * float(x0 @ (H @ x0)) + float(q @ x0) + const
-            f0_scale = max(1.0, abs(f0))
+            # normalize the quadratic to O(1) at the start: Newton
+            # decrements, stall cutoffs and the certificate lambda are
+            # ABSOLUTE quantities — at f0 ~ 1e5 (large-residual LS
+            # objectives) an O(1) decrement is ~1e-5 relative progress
+            # and centering can never 'converge' in absolute terms
+            # (measured: suspended-humanoid solve stuck at dec ~ 8,
+            # certificate unobtainable). Scaling H, q by 1/f0 makes the
+            # whole ladder scale-invariant; the minimizer is unchanged.
+            obj_scale = max(1.0, abs(f0))
+            Hj = jnp.asarray(H, jnp.float64) / obj_scale
+            qj = jnp.asarray(q, jnp.float64) / obj_scale
+            f0_scale = max(1.0, abs(f0 / obj_scale))  # = 1 unless f0 == 0
             t = max(1.0, nu / f0_scale)
             if not np.isfinite(float(self._psi(x, t, Hj, qj))):
                 self.last_info = {"status": "infeasible_start"}
@@ -381,6 +390,18 @@ class QuadBarrierSolver:
             f_hi = float(0.5 * x @ (Hj @ x) + qj @ x)
             if x_cert is None:
                 x_cert, lam_cert, t_cert = x, np.inf, t
+            # the polish decrement is itself a certificate at the final
+            # (much larger) t — when the explicit rung failed to centre
+            # (hard geometry) but the polish reached the quadratic zone,
+            # its bound is valid AND tighter; take the better of the two
+            dec_v = float(dec_f) if np.isfinite(float(dec_f)) else np.inf
+            lam_f = float(np.sqrt(max(dec_v, 0.0)))
+            if lam_f < 1.0 and (
+                lam_cert >= 1.0
+                or (nu + np.sqrt(nu) * lam_f) / t
+                < (nu + np.sqrt(nu) * lam_cert) / t_cert
+            ):
+                x_cert, lam_cert, t_cert = x, lam_f, t
             f_c = float(0.5 * x_cert @ (Hj @ x_cert) + qj @ x_cert)
             x_ret = x if f_hi <= f_c else x_cert
             viol = float(self._feas_slack(x_ret))
@@ -388,7 +409,8 @@ class QuadBarrierSolver:
                 nu, t, t_cert, lam_cert, f0_scale
             )
             self.last_info = {
-                "gap": float(gap),
+                # gaps in ORIGINAL objective units (solve ran scaled)
+                "gap": float(gap * obj_scale),
                 "gap_rel": float(gap / f0_scale),
                 "cert_gap_rel": float(cert_gap / f0_scale),
                 "cert_t": float(t_cert),
@@ -559,16 +581,18 @@ def barrier_minimize(
             info.update(status="stopped")
         return np.asarray(x), "stopped"
 
+    dec_last = np.inf
     for _outer in range(max_outer):
         if stop_fn is not None and stop_fn(np.asarray(x)):
             return _stopped(x)
-        x, _, _, _ = newton_run(x, t, newton_tol, max_newton, 0.95)
+        x, _, dec_last, _ = newton_run(x, t, newton_tol, max_newton, 0.95)
         if stop_fn is not None and stop_fn(np.asarray(x)):
             return _stopped(x)
         if x_cert is None and t >= t_cert_target:
             x, _, dec_c, _ = newton_run(x, t, newton_tol, 2 * max_newton, 2.0)
             dec_v = float(dec_c) if np.isfinite(float(dec_c)) else np.inf
             x_cert, lam_cert, t_cert = x, float(np.sqrt(max(dec_v, 0.0))), t
+            dec_last = dec_v
         if nu / t < gap_tol * f0_scale:
             break
         t_next = t * mu
@@ -578,6 +602,16 @@ def barrier_minimize(
     f_hi = float(prob.objective(x))
     if x_cert is None:
         x_cert, lam_cert, t_cert = x, np.inf, t
+    # the last centering's decrement also certifies at the final t —
+    # take the tighter of the two bounds (see QuadBarrierSolver.minimize)
+    dec_v = float(dec_last) if np.isfinite(float(dec_last)) else np.inf
+    lam_f = float(np.sqrt(max(dec_v, 0.0)))
+    if lam_f < 1.0 and (
+        lam_cert >= 1.0
+        or (nu + np.sqrt(nu) * lam_f) / t
+        < (nu + np.sqrt(nu) * lam_cert) / t_cert
+    ):
+        x_cert, lam_cert, t_cert = x, lam_f, t
     f_c = float(prob.objective(x_cert))
     x_ret = x if f_hi <= f_c else x_cert
     viol = float(core.feas_slack_jit()(x_ret))
