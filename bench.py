@@ -113,7 +113,7 @@ def run_humanoid30():
     idf.data.init_from_data(dict(samples))
     idf.estimateParameters()
     walls = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         idf.data.init_from_data(dict(samples))
         idf.estimateParameters()
@@ -191,7 +191,7 @@ def main():
     # Min of 3 is the headline (the relay's wall-clock noise between
     # identical runs is 2-3x) with mean/max reported alongside
     walls = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         run_pipeline(idf, samples)
         walls.append(time.time() - t0)

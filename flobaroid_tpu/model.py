@@ -35,7 +35,7 @@ import numpy as np
 import scipy.linalg as sla
 
 from .data import Data
-from .dynamics.engine import DynamicsEngine, rpy_to_base_rot
+from .dynamics.engine import DynamicsEngine, rpy_to_base_rot, rpy_to_base_rot_np
 from .models.urdf import RobotTree, joint_names_from_regressor_xml, load_urdf
 from .utils import helpers
 
@@ -259,7 +259,7 @@ class Model:
         BR = BV = BA = None
         if opt["floatingBase"]:
             rpy = np.asarray(samples["base_rpy"])[idx]
-            BR = np.asarray(rpy_to_base_rot(jnp.asarray(rpy)))
+            BR = rpy_to_base_rot_np(rpy)
             BV = np.asarray(samples["base_velocity"])[idx]
             BA = np.asarray(samples["base_acceleration"])[idx]
             if opt["identifyGravityParamsOnly"]:

@@ -250,3 +250,23 @@ def test_rpy_base_rot_convention():
     rpy = jnp.array([0.1, -0.2, 0.3])
     R = rpy_to_base_rot(rpy)
     np.testing.assert_allclose(np.asarray(R), np.asarray(sp.rpy_to_rot(rpy)).T)
+
+
+def test_rpy_base_rot_np_matches_jax():
+    # the staging path uses the host variant; it must agree with the
+    # traced one bit-for-bit in convention (batched + single)
+    from flobaroid_tpu.dynamics.engine import rpy_to_base_rot_np
+
+    rng = np.random.default_rng(3)
+    rpy = rng.uniform(-np.pi, np.pi, size=(17, 3))
+    np.testing.assert_allclose(
+        rpy_to_base_rot_np(rpy),
+        np.asarray(rpy_to_base_rot(jnp.asarray(rpy))),
+        rtol=1e-12, atol=1e-12,
+    )
+    one = rpy[0]
+    np.testing.assert_allclose(
+        rpy_to_base_rot_np(one),
+        np.asarray(rpy_to_base_rot(jnp.asarray(one))),
+        rtol=1e-12, atol=1e-12,
+    )

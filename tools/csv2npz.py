@@ -33,6 +33,7 @@ import numpy as np
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from flobaroid_tpu.data import Data  # noqa: E402
+from flobaroid_tpu.utils.cli import setup_jax  # noqa: E402
 from flobaroid_tpu.utils.config import load_config  # noqa: E402
 
 
@@ -48,6 +49,13 @@ def parse_floats(spec: str):
 
 
 def main():
+    # Honor JAX_PLATFORMS + enable the persistent compile cache BEFORE
+    # any backend initialization: the runtime may pre-import jax with
+    # an accelerator platform baked into jax.config (sitecustomize),
+    # which silently overrides the env var — without this the
+    # --resimulate-torques pass cold-compiles through the remote relay
+    # (minutes) instead of running where the caller asked.
+    setup_jax()
     p = argparse.ArgumentParser(
         description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter
     )
