@@ -274,6 +274,9 @@ def test_sdp_30dof_kkt_certificate(tmp_path):
     assert info["cert_gap_rel"] < 1e-3
     assert info["newton_lambda"] < 0.25
     assert info["max_violation"] <= 0.0
+    # the certificate free-rides on the ladder stages: no explicit
+    # certification run should have been needed on this geometry
+    assert info["certify_iters"] == 0
     assert idf.res_error < 5.0
 
 
