@@ -263,9 +263,22 @@ def main():
             "humanoid30_streamed_identify": h30,
         },
     }
-    print(json.dumps(result))
+    print(json.dumps(_json_safe(result)))
     shutil.rmtree(tmpdir, ignore_errors=True)
     return 0 if ok else 1
+
+
+def _json_safe(o):
+    """Strict-JSON sanitizer: the SDP certificate can carry inf/nan
+    (e.g. newton_lambda when no centering reached the quadratic zone),
+    which json.dumps would emit as the invalid tokens Infinity/NaN."""
+    if isinstance(o, dict):
+        return {k: _json_safe(v) for k, v in o.items()}
+    if isinstance(o, (list, tuple)):
+        return [_json_safe(v) for v in o]
+    if isinstance(o, float) and not np.isfinite(o):
+        return None
+    return o
 
 
 if __name__ == "__main__":

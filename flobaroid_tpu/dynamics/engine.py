@@ -496,18 +496,7 @@ def rpy_to_base_rot(rpy):
 def rpy_to_base_rot_np(rpy):
     """Host (numpy) variant of rpy_to_base_rot — the staging path calls
     this on host arrays; the jnp version would cost a device dispatch +
-    fetch round-trip through the execution relay per dataset."""
+    fetch round-trip through the execution relay per dataset. Shares the
+    ONE convention definition in spatial._rpy_to_rot_impl."""
     rpy = np.asarray(rpy, dtype=float)
-    r, p, y = rpy[..., 0], rpy[..., 1], rpy[..., 2]
-    cr, sr = np.cos(r), np.sin(r)
-    cp, spi = np.cos(p), np.sin(p)
-    cy, sy = np.cos(y), np.sin(y)
-    R = np.stack(
-        [
-            np.stack([cy * cp, cy * spi * sr - sy * cr, cy * spi * cr + sy * sr], axis=-1),
-            np.stack([sy * cp, sy * spi * sr + cy * cr, sy * spi * cr - cy * sr], axis=-1),
-            np.stack([-spi, cp * sr, cp * cr], axis=-1),
-        ],
-        axis=-2,
-    )
-    return np.swapaxes(R, -1, -2)
+    return np.swapaxes(sp._rpy_to_rot_impl(rpy, np), -1, -2)

@@ -28,20 +28,28 @@ def unskew(S):
     return jnp.stack([S[..., 2, 1], S[..., 0, 2], S[..., 1, 0]], axis=-1)
 
 
-def rpy_to_rot(rpy):
-    """Rz(yaw) @ Ry(pitch) @ Rx(roll) (same convention as URDF / iDynTree)."""
+def _rpy_to_rot_impl(rpy, xp):
+    """Rz(yaw) @ Ry(pitch) @ Rx(roll) (same convention as URDF /
+    iDynTree), written against either numpy or jax.numpy: ONE copy of
+    the convention serves the traced dynamics and the host staging
+    path (engine.rpy_to_base_rot_np)."""
     r, p, y = rpy[..., 0], rpy[..., 1], rpy[..., 2]
-    cr, sr = jnp.cos(r), jnp.sin(r)
-    cp, sp = jnp.cos(p), jnp.sin(p)
-    cy, sy = jnp.cos(y), jnp.sin(y)
-    return jnp.stack(
+    cr, sr = xp.cos(r), xp.sin(r)
+    cp, sp = xp.cos(p), xp.sin(p)
+    cy, sy = xp.cos(y), xp.sin(y)
+    return xp.stack(
         [
-            jnp.stack([cy * cp, cy * sp * sr - sy * cr, cy * sp * cr + sy * sr], axis=-1),
-            jnp.stack([sy * cp, sy * sp * sr + cy * cr, sy * sp * cr - cy * sr], axis=-1),
-            jnp.stack([-sp, cp * sr, cp * cr], axis=-1),
+            xp.stack([cy * cp, cy * sp * sr - sy * cr, cy * sp * cr + sy * sr], axis=-1),
+            xp.stack([sy * cp, sy * sp * sr + cy * cr, sy * sp * cr - cy * sr], axis=-1),
+            xp.stack([-sp, cp * sr, cp * cr], axis=-1),
         ],
         axis=-2,
     )
+
+
+def rpy_to_rot(rpy):
+    """Rz(yaw) @ Ry(pitch) @ Rx(roll) (same convention as URDF / iDynTree)."""
+    return _rpy_to_rot_impl(rpy, jnp)
 
 
 def rot_to_rpy(R):

@@ -39,6 +39,7 @@ class TrajectoryObjective:
         duration: float | None = None,
         yty_prior: np.ndarray | None = None,
         extra_constraints_fn: Callable | None = None,
+        n_extra_constraints: int | None = None,
         dtype=jnp.float32,
     ):
         self.model = model
@@ -75,6 +76,18 @@ class TrajectoryObjective:
         self.pi_urdf = np.asarray(model.xStdModel[: model.num_model_params])
         self.yty_prior = yty_prior
         self.extra_constraints_fn = extra_constraints_fn
+        # constraint-shift knob: a traced ARGUMENT added to the extra
+        # (collision) constraint values, so margin inflation during
+        # mesh-backoff recovery re-dispatches the SAME compiled chain
+        # instead of retracing the whole D-opt pipeline (10-600 s
+        # compiles through the remote relay). Shape is fixed up front
+        # (n_extra_constraints, or a broadcastable scalar) so later
+        # set_extra_shift calls never change the traced shape.
+        self._extra_shift = (
+            np.zeros(n_extra_constraints, dtype=np.float64)
+            if n_extra_constraints
+            else np.float64(0.0)
+        )
         self.fb = model.fb
         self.floating = bool(config["floatingBase"])
 
@@ -196,7 +209,7 @@ class TrajectoryObjective:
         )
         dt_samp = float(self.times[1] - self.times[0])
 
-        def raw(x):
+        def raw(x, extra_shift):
             Q, V, A = fourier_traj(self.spec, x.astype(dt), times)
             if floating:
                 N = Q.shape[0]
@@ -299,11 +312,14 @@ class TrajectoryObjective:
                     # constraints see the real world-frame link poses
                     # (reference trajectoryOptimizer.py:356-359)
                     if floating and suspended is not None:
-                        g.append(extra_fn(Q, BR, pos_s))
+                        ge = extra_fn(Q, BR, pos_s)
                     else:
-                        g.append(extra_fn(Q, None, None))
+                        ge = extra_fn(Q, None, None)
                 else:
-                    g.append(extra_fn(Q))
+                    ge = extra_fn(Q)
+                # traced shift (mesh-backoff margin inflation rides the
+                # same compiled chain)
+                g.append(ge + extra_shift.astype(ge.dtype))
             g = jnp.concatenate(g)
 
             # soft costs (reference trajectoryOptimizer.py:445-499)
@@ -339,8 +355,8 @@ class TrajectoryObjective:
         self._raw = raw
         self._raw_jit = jax.jit(raw)
 
-        def evaluate(x, dopt_scale):
-            neg_logdet, f1, f2, f3, f4, g, n_obs = raw(x)
+        def evaluate(x, dopt_scale, extra_shift):
+            neg_logdet, f1, f2, f3, f4, g, n_obs = raw(x, extra_shift)
             f = neg_logdet * dopt_scale + 10.0 * (f1 + f3 + f4) + 10.0 * f2
             f = jnp.where(jnp.isfinite(f), f, 1e4)
             # preserve the SIGN of infinite constraint values: a joint
@@ -351,10 +367,10 @@ class TrajectoryObjective:
             return f, g, n_obs
 
         self._evaluate = jax.jit(evaluate)
-        self._evaluate_batch = jax.jit(jax.vmap(evaluate, in_axes=(0, None)))
+        self._evaluate_batch = jax.jit(jax.vmap(evaluate, in_axes=(0, None, None)))
 
-        def penalized(x, dopt_scale, weight):
-            f, g, _ = evaluate(x, dopt_scale)
+        def penalized(x, dopt_scale, weight, extra_shift):
+            f, g, _ = evaluate(x, dopt_scale, extra_shift)
             return f + weight * jnp.sum(jnp.maximum(g, 0.0) ** 2) + weight * 0.1 * jnp.sum(
                 jnp.maximum(g, 0.0)
             )
@@ -366,13 +382,15 @@ class TrajectoryObjective:
         # would pay a device round-trip per iteration)
         import optax
 
-        def adam_run(x, lo, hi, dopt_scale, weight, lr, n_steps):
+        def adam_run(x, lo, hi, dopt_scale, weight, extra_shift, lr, n_steps):
             opt = optax.adam(learning_rate=lr)
             state = opt.init(x)
 
             def step(carry, _):
                 x, state = carry
-                v, g = jax.value_and_grad(penalized)(x, dopt_scale, weight)
+                v, g = jax.value_and_grad(penalized)(
+                    x, dopt_scale, weight, extra_shift
+                )
                 g = jnp.where(jnp.isfinite(g), g, 0.0)
                 updates, state = opt.update(g, state)
                 x = jnp.clip(x + updates, lo, hi)
@@ -390,18 +408,20 @@ class TrajectoryObjective:
         # multipliers, so feasibility does not require rho -> inf
         # (replaces IPOPT's interior feasibility guarantee,
         # reference excitation/optimizer.py:1138-1250)
-        def al_value(x, dopt_scale, lam, rho):
-            f, g, _ = evaluate(x, dopt_scale)
+        def al_value(x, dopt_scale, lam, rho, extra_shift):
+            f, g, _ = evaluate(x, dopt_scale, extra_shift)
             t = jnp.maximum(0.0, lam + rho * g)
             return f + (0.5 / rho) * jnp.sum(t**2 - lam**2)
 
-        def al_run(x, lo, hi, dopt_scale, lam, rho, lr, n_steps):
+        def al_run(x, lo, hi, dopt_scale, lam, rho, extra_shift, lr, n_steps):
             opt = optax.adam(learning_rate=lr)
             state = opt.init(x)
 
             def step(carry, _):
                 x, state = carry
-                v, g = jax.value_and_grad(al_value)(x, dopt_scale, lam, rho)
+                v, g = jax.value_and_grad(al_value)(
+                    x, dopt_scale, lam, rho, extra_shift
+                )
                 g = jnp.where(jnp.isfinite(g), g, 0.0)
                 updates, state = opt.update(g, state)
                 x = jnp.clip(x + updates, lo, hi)
@@ -413,17 +433,36 @@ class TrajectoryObjective:
         self._al_run = jax.jit(al_run, static_argnames=("lr", "n_steps"))
 
     # ------------------------------------------------------------------
+    def set_extra_shift(self, shift) -> None:
+        """Update the additive shift on the extra (collision)
+        constraints — the mesh-backoff margin-inflation knob. Must keep
+        the shape chosen at construction (n_extra_constraints) or every
+        jitted chain retraces."""
+        shift = np.asarray(shift, dtype=np.float64)
+        prev = np.asarray(self._extra_shift)
+        if shift.shape != prev.shape:
+            print(
+                f"extra_shift shape {shift.shape} != constructed shape "
+                f"{prev.shape}: every jitted chain will retrace once "
+                f"(pass n_extra_constraints at build time to avoid this)"
+            )
+        self._extra_shift = shift
+
+    @property
+    def _shift_j(self):
+        return jnp.asarray(self._extra_shift, self.dtype)
+
     def dopt(self, x):
         """Pure regularized D-optimality (-sum log eig) of a candidate —
         without soft costs or scaling (for quality reporting, e.g. the
         mesh-backoff D-opt before/after)."""
-        return float(self._raw_jit(jnp.asarray(x, self.dtype))[0])
+        return float(self._raw_jit(jnp.asarray(x, self.dtype), self._shift_j)[0])
 
     # ------------------------------------------------------------------
     def calibrate_scale(self, x0: np.ndarray):
         """Set the D-optimality scaling so the initial value is ~10
         (reference trajectoryOptimizer.py:288-293)."""
-        neg_logdet, *_ = self._raw_jit(jnp.asarray(x0, self.dtype))
+        neg_logdet, *_ = self._raw_jit(jnp.asarray(x0, self.dtype), self._shift_j)
         v = abs(float(neg_logdet))
         self._dopt_scale = 10.0 / max(v, 1.0)
         return self._dopt_scale
@@ -435,7 +474,9 @@ class TrajectoryObjective:
         return self._dopt_scale
 
     def evaluate(self, x):
-        f, g, n_obs = self._evaluate(jnp.asarray(x, self.dtype), self.dopt_scale)
+        f, g, n_obs = self._evaluate(
+            jnp.asarray(x, self.dtype), self.dopt_scale, self._shift_j
+        )
         return float(f), np.asarray(g), int(n_obs)
 
     def evaluate_batch(self, X):
@@ -463,15 +504,18 @@ class TrajectoryObjective:
                 (Xj,) = shard_batch(
                     self._cand_mesh, jnp.asarray(Xp, self.dtype), axis="candidates"
                 )
-                f, g, n_obs = self._evaluate_batch(Xj, self.dopt_scale)
+                f, g, n_obs = self._evaluate_batch(
+                    Xj, self.dopt_scale, self._shift_j
+                )
                 return (np.asarray(f)[:n], np.asarray(g)[:n],
                         np.asarray(n_obs)[:n])
-        f, g, n_obs = self._evaluate_batch(X, self.dopt_scale)
+        f, g, n_obs = self._evaluate_batch(X, self.dopt_scale, self._shift_j)
         return np.asarray(f), np.asarray(g), np.asarray(n_obs)
 
     def penalized_value_and_grad(self, x, weight):
         v, g = self._penalized_grad(
-            jnp.asarray(x, self.dtype), self.dopt_scale, jnp.asarray(weight, self.dtype)
+            jnp.asarray(x, self.dtype), self.dopt_scale,
+            jnp.asarray(weight, self.dtype), self._shift_j
         )
         return float(v), np.asarray(g)
 
@@ -483,6 +527,7 @@ class TrajectoryObjective:
             jnp.asarray(hi, self.dtype),
             self.dopt_scale,
             jnp.asarray(weight, self.dtype),
+            self._shift_j,
             lr,
             n_steps,
         )
@@ -497,6 +542,7 @@ class TrajectoryObjective:
             self.dopt_scale,
             jnp.asarray(lam, self.dtype),
             jnp.asarray(rho, self.dtype),
+            self._shift_j,
             lr,
             n_steps,
         )

@@ -316,14 +316,15 @@ def _mesh_backoff_refine(model, config, spec, obj, cm, ver, yty_prior,
     """Constraint-inflation recovery after a mesh-verification failure
     (VERDICT r2 weak #1; reference re-optimizes via its normal loop,
     optimizer.py:1099-1132). Instead of blindly shrinking amplitudes
-    0.85^k, the violating pairs' capsule margins are inflated by the
-    MEASURED capsule-vs-mesh gap (+ slack) and one augmented-Lagrangian
-    stage re-runs on the retraced objective — preserving D-optimality
-    except where geometry truly forbids it. Amplitude backoff remains
-    the last resort. Reports dopt_before/after in `info`."""
+    0.85^k, the violating pairs' constraints are tightened by the
+    MEASURED capsule-vs-mesh gap (+ slack) via the objective's traced
+    extra-shift argument — the SAME compiled chain re-dispatches per
+    recovery round (a rebuilt objective cost a full 10-600 s retrace of
+    the D-opt pipeline per round) — and one augmented-Lagrangian stage
+    re-runs, preserving D-optimality except where geometry truly
+    forbids it. Amplitude backoff remains the last resort. Reports
+    dopt_before/after in `info`."""
     import jax.numpy as jnp
-
-    from .objective import TrajectoryObjective
 
     f_before = float(obj.evaluate(x)[0])
     d_before = obj.dopt(x)
@@ -332,16 +333,21 @@ def _mesh_backoff_refine(model, config, spec, obj, cm, ver, yty_prior,
     slack = float(config.get("meshBackoffSlack", 0.002))
     n = spec.num_dofs
     print(f"mesh verification: {len(bad)} pair(s) violate exact geometry "
-          f"(worst {min(d for _, d in bad):.4f} m) — inflating capsule "
-          f"margins by the measured gap and re-refining")
+          f"(worst {min(d for _, d in bad):.4f} m) — tightening the "
+          f"violated collision constraints by the measured gap and "
+          f"re-refining")
 
     cap_fn = cm.trajectory_constraint_fn(step=step_v, n_transition=n_trans)
+    shift = np.asarray(obj._extra_shift, dtype=np.float64).copy()
+    if shift.shape != (cm.num_pairs,):
+        # objective built without n_extra_constraints: fall back to a
+        # correctly-shaped shift (one retrace, then shape-stable)
+        shift = np.zeros(cm.num_pairs)
     ok = False
-    obj_r = obj
     for _round in range(3):
         if guard():
             break
-        Q, BR, BP = obj_r.kinematics(x)
+        Q, BR, BP = obj.kinematics(x)
         args = (jnp.asarray(Q),) if BR is None else (
             jnp.asarray(Q), jnp.asarray(BR), jnp.asarray(BP))
         g_cap = np.asarray(cap_fn(*args), dtype=float)
@@ -350,17 +356,10 @@ def _mesh_backoff_refine(model, config, spec, obj, cm, ver, yty_prior,
                 i = cm.pair_names.index(tuple(pair))
             except ValueError:
                 continue
-            cap_clear = -float(g_cap[i])
+            cap_clear = -(float(g_cap[i]) + shift[i])
             gap = cap_clear - float(d_mesh)
-            cm.margins[i] += max(gap, 0.0) + slack
-        # retrace with the inflated margins; keep the D-opt scale so
-        # objective values stay comparable
-        cap_fn = cm.trajectory_constraint_fn(step=step_v, n_transition=n_trans)
-        obj_r = TrajectoryObjective(
-            model, config, spec, yty_prior=yty_prior,
-            extra_constraints_fn=cap_fn,
-        )
-        obj_r._dopt_scale = obj.dopt_scale
+            shift[i] += max(gap, 0.0) + slack
+        obj.set_extra_shift(shift)
         cfg_r = dict(config)
         cfg_r["trajectoryCheckpointFile"] = ""  # no resume interference
         # the recovery owns its refinement budget: a caller running a
@@ -368,8 +367,8 @@ def _mesh_backoff_refine(model, config, spec, obj, cm, ver, yty_prior,
         # preserving D-optimality here (the whole point vs 0.85^k)
         cfg_r["localOptStages"] = max(4, int(config.get("localOptStages", 6)))
         cfg_r["localOptIterations"] = max(3, int(config.get("localOptIterations", 10)))
-        x_new, _f, _feas = local_refine(obj_r, cfg_r, x, should_stop=guard)
-        Q, BR, BP = obj_r.kinematics(x_new)
+        x_new, _f, _feas = local_refine(obj, cfg_r, x, should_stop=guard)
+        Q, BR, BP = obj.kinematics(x_new)
         ok, bad = ver.verify(Q, base_rot=BR, base_pos=BP, step=step_v)
         x = np.asarray(x_new, dtype=float)
         if ok:
@@ -377,12 +376,14 @@ def _mesh_backoff_refine(model, config, spec, obj, cm, ver, yty_prior,
     if not ok:
         # last resort: global amplitude shrink (previous behavior)
         for _attempt in range(10):
-            Q, BR, BP = obj_r.kinematics(x)
+            Q, BR, BP = obj.kinematics(x)
             ok, bad = ver.verify(Q, base_rot=BR, base_pos=BP, step=step_v)
             if ok:
                 break
             x = np.array(x, dtype=float)
             x[1 + n:] *= 0.85
+    # report on the ORIGINAL (unshifted) constraints for comparability
+    obj.set_extra_shift(np.zeros_like(shift))
     f_after = float(obj.evaluate(x)[0])
     d_after = obj.dopt(x)
     info["f_after_backoff"] = f_after
@@ -463,7 +464,8 @@ def optimize_trajectory(model, config, yty_prior=None, seeds=None, rng=None):
             )
 
     obj = TrajectoryObjective(
-        model, config, spec, yty_prior=yty_prior, extra_constraints_fn=extra_fn
+        model, config, spec, yty_prior=yty_prior, extra_constraints_fn=extra_fn,
+        n_extra_constraints=(cm.num_pairs if extra_fn is not None else None),
     )
     x0 = initial_candidate(spec, config, rng)
     obj.calibrate_scale(x0)

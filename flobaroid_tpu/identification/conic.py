@@ -67,6 +67,39 @@ class BarrierProblem:
 _LS_STEPS = 0.5 ** np.arange(40)
 
 
+class _CertTracker:
+    """Best-certificate tracker shared by both solvers: collects
+    (x, lam, t) candidates from cleanly-converged centerings and keeps
+    the one with the best status qualification, then tightest
+    self-concordant bound (thresholds match _certificate_status)."""
+
+    def __init__(self, nu, f0_scale, x, t):
+        self.nu, self.f0 = float(nu), float(f0_scale)
+        self.x, self.lam, self.t = x, np.inf, float(t)
+
+    def _bound(self, lam, t):
+        return (self.nu + np.sqrt(self.nu) * lam) / t
+
+    def _qualifies(self, lam, t):
+        # what _certificate_status needs for 'optimal'
+        return lam < 0.25 and self._bound(lam, t) < 1e-3 * self.f0
+
+    def offer(self, x, dec, t):
+        dec_v = float(dec) if np.isfinite(float(dec)) else np.inf
+        lam = float(np.sqrt(max(dec_v, 0.0)))
+        if not np.isfinite(lam) or lam >= 1.0:
+            return
+        q_new, q_cur = self._qualifies(lam, t), self._qualifies(self.lam, self.t)
+        if q_new != q_cur:
+            if not q_new:
+                return
+        elif np.isfinite(self.lam) and self._bound(lam, t) >= self._bound(
+            self.lam, self.t
+        ):
+            return
+        self.x, self.lam, self.t = x, lam, float(t)
+
+
 def _certificate_status(nu, t, t_cert, lam_cert, f0_scale):
     """Shared KKT-certificate policy for both solvers (one copy of the
     thresholds): the self-concordant bound (nu + sqrt(nu) lam)/t_cert
@@ -352,27 +385,7 @@ class QuadBarrierSolver:
             # feasible barrier iterates).
             t_cert_target = nu / (1e-4 * f0_scale)
             it_c = 0
-            x_cert, lam_cert, t_cert = x, np.inf, t
-
-            def _qualifies(lam, tv):
-                # what _certificate_status needs for 'optimal'
-                return (
-                    lam < 0.25
-                    and (nu + np.sqrt(nu) * lam) / tv < 1e-3 * f0_scale
-                )
-
-            def _better(lam_new, t_new):
-                # certificates that qualify for 'optimal' strictly
-                # dominate; among equals, the tighter bound wins
-                if not np.isfinite(lam_new) or lam_new >= 1.0:
-                    return False
-                if _qualifies(lam_new, t_new) != _qualifies(lam_cert, t_cert):
-                    return _qualifies(lam_new, t_new)
-                return (
-                    not np.isfinite(lam_cert)
-                    or (nu + np.sqrt(nu) * lam_new) / t_new
-                    < (nu + np.sqrt(nu) * lam_cert) / t_cert
-                )
+            cert = _CertTracker(nu, f0_scale, x, t)
 
             for _outer in range(max_outer):
                 if nu / t < gap_tol * f0_scale:
@@ -392,10 +405,7 @@ class QuadBarrierSolver:
                 if stop_fn is not None and stop_fn(np.asarray(x)):
                     self.last_info = {"status": "stopped"}
                     return np.asarray(x), "stopped"
-                dec_v = float(dec) if np.isfinite(float(dec)) else np.inf
-                lam_s = float(np.sqrt(max(dec_v, 0.0)))
-                if _better(lam_s, t):
-                    x_cert, lam_cert, t_cert = x, lam_s, t
+                cert.offer(x, dec, t)
                 t = t * mu
             # final polish at the last t (solution quality + certificate)
             _t0 = _time.time()
@@ -405,25 +415,20 @@ class QuadBarrierSolver:
             if dbg:
                 print(f"  polish newton_iters={int(it)} {_time.time()-_t0:.3f}s")
             f_hi = float(0.5 * x @ (Hj @ x) + qj @ x)
-            dec_v = float(dec_f) if np.isfinite(float(dec_f)) else np.inf
-            lam_f = float(np.sqrt(max(dec_v, 0.0)))
-            if _better(lam_f, t):
-                x_cert, lam_cert, t_cert = x, lam_f, t
-            if lam_cert >= 0.25:
+            cert.offer(x, dec_f, t)
+            if cert.lam >= 0.25:
                 # no stage reached the quadratic zone: one explicit
                 # certification at the robust intermediate rung
                 _t0 = _time.time()
                 x_c, it_c, dec_c, _ = self._newton_run(
                     x, t_cert_target, Hj, qj, newton_tol, 2 * max_newton, 2.0
                 )
-                dec_v = float(dec_c) if np.isfinite(float(dec_c)) else np.inf
-                lam_c = float(np.sqrt(max(dec_v, 0.0)))
                 if dbg:
                     print(f"  certify t={t_cert_target:.3g} "
-                          f"newton_iters={int(it_c)} lam={lam_c:.3g} "
+                          f"newton_iters={int(it_c)} "
                           f"{_time.time()-_t0:.3f}s")
-                if _better(lam_c, t_cert_target):
-                    x_cert, lam_cert, t_cert = x_c, lam_c, t_cert_target
+                cert.offer(x_c, dec_c, t_cert_target)
+            x_cert, lam_cert, t_cert = cert.x, cert.lam, cert.t
             f_c = float(0.5 * x_cert @ (Hj @ x_cert) + qj @ x_cert)
             x_ret = x if f_hi <= f_c else x_cert
             viol = float(self._feas_slack(x_ret))
@@ -587,6 +592,8 @@ def barrier_minimize(
     if t0 is None:
         t0 = max(1.0, nu / f0_scale)
     if not np.isfinite(float(psi(x, t0))):
+        if info is not None:
+            info.update(status="infeasible_start")
         return np.asarray(x), "infeasible_start"
 
     # FREE-RIDING certification (see QuadBarrierSolver.minimize): every
@@ -597,21 +604,7 @@ def barrier_minimize(
     # via objective comparison.
     t = t0
     t_cert_target = nu / (1e-4 * f0_scale)
-    x_cert, lam_cert, t_cert = x, np.inf, t
-
-    def _qualifies(lam, tv):
-        return lam < 0.25 and (nu + np.sqrt(nu) * lam) / tv < 1e-3 * f0_scale
-
-    def _better(lam_new, t_new):
-        if not np.isfinite(lam_new) or lam_new >= 1.0:
-            return False
-        if _qualifies(lam_new, t_new) != _qualifies(lam_cert, t_cert):
-            return _qualifies(lam_new, t_new)
-        return (
-            not np.isfinite(lam_cert)
-            or (nu + np.sqrt(nu) * lam_new) / t_new
-            < (nu + np.sqrt(nu) * lam_cert) / t_cert
-        )
+    cert = _CertTracker(nu, f0_scale, x, t)
 
     def _stopped(x):
         if info is not None:
@@ -626,26 +619,18 @@ def barrier_minimize(
         x, _, dec_s, _ = newton_run(x, t, newton_tol, max_newton, 0.95)
         if stop_fn is not None and stop_fn(np.asarray(x)):
             return _stopped(x)
-        dec_v = float(dec_s) if np.isfinite(float(dec_s)) else np.inf
-        lam_s = float(np.sqrt(max(dec_v, 0.0)))
-        if _better(lam_s, t):
-            x_cert, lam_cert, t_cert = x, lam_s, t
+        cert.offer(x, dec_s, t)
         t = t * mu
     # final tight centering at the last t (certificate source)
     x, _, dec_f, _ = newton_run(x, t, newton_tol, max_newton, 0.95)
     f_hi = float(prob.objective(x))
-    dec_v = float(dec_f) if np.isfinite(float(dec_f)) else np.inf
-    lam_f = float(np.sqrt(max(dec_v, 0.0)))
-    if _better(lam_f, t):
-        x_cert, lam_cert, t_cert = x, lam_f, t
-    if lam_cert >= 0.25:
+    cert.offer(x, dec_f, t)
+    if cert.lam >= 0.25:
         x_c, _, dec_c, _ = newton_run(
             x, t_cert_target, newton_tol, 2 * max_newton, 2.0
         )
-        dec_v = float(dec_c) if np.isfinite(float(dec_c)) else np.inf
-        lam_c = float(np.sqrt(max(dec_v, 0.0)))
-        if _better(lam_c, t_cert_target):
-            x_cert, lam_cert, t_cert = x_c, lam_c, t_cert_target
+        cert.offer(x_c, dec_c, t_cert_target)
+    x_cert, lam_cert, t_cert = cert.x, cert.lam, cert.t
     f_c = float(prob.objective(x_cert))
     x_ret = x if f_hi <= f_c else x_cert
     viol = float(core.feas_slack_jit()(x_ret))

@@ -72,6 +72,7 @@ class Identification:
         self.validation_file = validation_file
         self._tauEstimated: np.ndarray | None = None
         self._tau_lazy_x: np.ndarray | None = None
+        self._tau_lazy_gen: int | None = None
         self._tauAPriori: np.ndarray | None = None
         self._tauAP_lazy_x: np.ndarray | None = None
         self._last_resid: tuple | None = None
@@ -93,6 +94,7 @@ class Identification:
     def tauEstimated(self) -> np.ndarray | None:
         if self._tauEstimated is None and self._tau_lazy_x is not None:
             m = self.model
+            self._check_lazy_gen()
             tauEst = (
                 m.contract_identified(self._tau_lazy_x).reshape(-1)
                 + m.contactForcesSum
@@ -101,6 +103,19 @@ class Identification:
                 self.data.num_used_samples, m.num_dofs + m.fb
             )
         return self._tauEstimated
+
+    def _check_lazy_gen(self) -> None:
+        """Lazy series contract against the model's CURRENT staged
+        dataset; if the model was re-staged since estimation (e.g.
+        block-selection scoring re-entry), materializing now would
+        silently produce a series for the wrong data — fail loudly."""
+        if getattr(self.model, "_dataset_gen", None) != self._tau_lazy_gen:
+            raise RuntimeError(
+                "lazy torque series requested after the model was "
+                "re-staged on a different dataset; read tauEstimated/"
+                "tauAPriori before reusing the Model, or re-run "
+                "estimateRegressorTorques()"
+            )
 
     @tauEstimated.setter
     def tauEstimated(self, v) -> None:
@@ -111,6 +126,7 @@ class Identification:
     def tauAPriori(self) -> np.ndarray | None:
         if self._tauAPriori is None and self._tauAP_lazy_x is not None:
             m = self.model
+            self._check_lazy_gen()
             tauAP = (
                 m.contract_identified(self._tauAP_lazy_x).reshape(-1)
                 + m.contactForcesSum
@@ -163,6 +179,7 @@ class Identification:
                 self.base_error = st["bn"] / self.data.num_used_samples
                 self._tauEstimated = None
                 self._tau_lazy_x = x
+                self._tau_lazy_gen = getattr(m, "_dataset_gen", None)
                 if estimateWith == "urdf":
                     self._tauAPriori = None
                     self._tauAP_lazy_x = x

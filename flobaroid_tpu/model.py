@@ -377,6 +377,9 @@ class Model:
         self._resid_cache = {}  # residual stats are per-dataset
         self._agg_cache = {}  # Gram aggregates are per-dataset
         self._staged = None  # staged device inputs are per-dataset
+        # generation token: consumers holding lazy per-dataset state
+        # (identifier's lazy tau series) can detect a re-staging
+        self._dataset_gen = getattr(self, "_dataset_gen", 0) + 1
         nd, fb = self.num_dofs, self.fb
         rows = nd + fb
         skip = int(opt["skipSamples"])
@@ -1006,7 +1009,7 @@ class Model:
         # WLS re-aggregates twice per solve (weights, then restore to
         # ones) — memoize the aggregates per weight vector (tiny: two
         # (P,P)/(P,) sets per dataset)
-        key = hash(w2.tobytes())
+        key = w2.tobytes()
         cache = getattr(self, "_agg_cache", None)
         if cache is None:
             cache = self._agg_cache = {}
@@ -1057,7 +1060,7 @@ class Model:
         parameter vector until the next computeRegressors — the
         reporting path asks for the same contraction repeatedly."""
         x = np.asarray(x_identified, dtype=float)
-        key = hash(x.tobytes())
+        key = x.tobytes()
         cache = getattr(self, "_contract_cache", None)
         if cache is None:
             cache = self._contract_cache = {}
@@ -1085,7 +1088,7 @@ class Model:
         cache = getattr(self, "_resid_cache", None)
         if cache is None:
             cache = self._resid_cache = {}
-        missing = [x for x in xs if hash(x.tobytes()) not in cache]
+        missing = [x for x in xs if x.tobytes() not in cache]
         if missing:
             opt = self.opt
             dt = self._compute_dtype()
@@ -1104,10 +1107,10 @@ class Model:
             rp, pp, bn = (np.asarray(a, dtype=float) for a in (rp, pp, bn))
             tp = np.asarray(tp, dtype=float)
             for i, x in enumerate(missing):
-                cache[hash(x.tobytes())] = dict(
+                cache[x.tobytes()] = dict(
                     rp=rp[i], pp=pp[i], tp=tp, bn=float(bn[i])
                 )
-        return [cache[hash(x.tobytes())] for x in xs]
+        return [cache[x.tobytes()] for x in xs]
 
     def prefetch_contractions(self, xs) -> None:
         """Compute several contractions in ONE pass over the data (the
@@ -1116,12 +1119,12 @@ class Model:
         cache = getattr(self, "_contract_cache", None)
         if cache is None:
             cache = self._contract_cache = {}
-        missing = [x for x in xs if hash(x.tobytes()) not in cache]
+        missing = [x for x in xs if x.tobytes() not in cache]
         if not missing:
             return
         res = self.contract_identified_multi(missing)
         for x, r in zip(missing, res):
-            cache[hash(x.tobytes())] = r
+            cache[x.tobytes()] = r
 
     def contract_identified_multi(self, xs) -> np.ndarray:
         """(K, N, rows) torque contractions for K parameter vectors —
@@ -1162,25 +1165,29 @@ class Model:
                     )
                 )
         fn = self._regr_jit_cache[key]
+        arrays = [Q, w] if BR is None else [Q, BR, w]
+        return self._chunked_apply(fn, arrays, len(Q))
+
+    def _chunked_apply(self, fn, arrays, N: int) -> np.ndarray:
+        """Apply a jitted per-chunk fn over the sample axis of `arrays`
+        in FIXED-SIZE padded chunks (pad by repeating the last row): one
+        compiled shape serves every dataset length — a recording N baked
+        into the jit shape costs a fresh multi-minute remote compile.
+        Returns the stacked (N, ...) result."""
         dt = self._compute_dtype()
-        N = len(Q)
         chunk = min(int(self.opt.get("gramChunk", 4096)), max(N, 16))
         parts = []
         for s0 in range(0, N, chunk):
             sl = slice(s0, s0 + chunk)
-            n_here = len(Q[sl])
+            n_here = min(chunk, N - s0)
             padn = chunk - n_here
-
-            def p(a):
+            args = []
+            for a in arrays:
                 a = np.asarray(a[sl])
                 if padn:
                     a = np.concatenate([a, np.repeat(a[-1:], padn, axis=0)])
-                return jnp.asarray(a, dtype=dt)
-
-            out = (
-                fn(p(Q), p(w)) if BR is None else fn(p(Q), p(BR), p(w))
-            )
-            parts.append(np.asarray(out, dtype=float)[:n_here])
+                args.append(jnp.asarray(a, dtype=dt))
+            parts.append(np.asarray(fn(*args), dtype=float)[:n_here])
         return np.concatenate(parts)
 
     def _contact_torques_sum_staged(self, link_indices, staged, W):
@@ -1256,24 +1263,7 @@ class Model:
                     jax.vmap(lambda q, br: eng.frame_jacobian(link_index, q, br))
                 )
         fn = self._regr_jit_cache[key]
-        dt = self._compute_dtype()
-        N = len(Q)
-        chunk = min(int(self.opt.get("gramChunk", 4096)), max(N, 16))
-        parts = []
-        for s0 in range(0, N, chunk):
-            sl = slice(s0, s0 + chunk)
-            n_here = len(Q[sl])
-            padn = chunk - n_here
-
-            def p(a):
-                a = np.asarray(a[sl])
-                if padn:
-                    a = np.concatenate([a, np.repeat(a[-1:], padn, axis=0)])
-                return jnp.asarray(a, dtype=dt)
-
-            J = fn(p(Q)) if BR is None else fn(p(Q), p(BR))
-            parts.append(np.asarray(J, dtype=float)[:n_here])
-        J = np.concatenate(parts)
+        J = self._chunked_apply(fn, [Q] if BR is None else [Q, BR], len(Q))
         return np.swapaxes(J, 1, 2)  # (N, 6, 6+nd) -> J^T rows
 
     # ------------------------------------------------------------------

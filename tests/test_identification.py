@@ -449,3 +449,32 @@ def test_streaming_wls_matches_materialized(kuka_tmp):
     np.testing.assert_allclose(
         idf_s.model.xBase, idf_m.model.xBase, rtol=1e-4, atol=1e-6
     )
+
+
+def test_lazy_series_guard_after_restaging(kuka_tmp):
+    """Streaming leaves tauEstimated lazy; materializing it after the
+    model was re-staged on DIFFERENT data would silently contract the
+    old parameters against the new dataset — it must fail loudly."""
+    samples, _ = synth_samples(kuka_tmp, n=600, noise=0.05, seed=5)
+    opt = base_opt(
+        floatingBase=0, materializeRegressor=0, gramChunk=256,
+        constrainToConsistent=0, identifyFrictionSimultaneously=1,
+    )
+    idf = Identification(opt, kuka_tmp)
+    idf.data.init_from_data(dict(samples))
+    idf.estimateParameters()
+    if idf._tau_lazy_x is None:
+        pytest.skip("series were materialized on this path")
+    # re-stage the shared Model on different data (block-selection-style
+    # re-entry), then read the stale lazy series
+    other, _ = synth_samples(kuka_tmp, n=600, noise=0.05, seed=6)
+
+    d2 = Data(idf.opt)
+    d2.init_from_data(dict(other))
+    idf.model.computeRegressors(d2)
+    with pytest.raises(RuntimeError, match="re-staged"):
+        _ = idf.tauEstimated
+    # a fresh estimation restores normal behavior
+    idf.data.init_from_data(dict(samples))
+    idf.estimateParameters()
+    assert idf.tauEstimated is not None

@@ -65,3 +65,26 @@ def test_tikz_export(idf_done, tmp_path):
 def test_latex_table(idf_done):
     tex = OutputConsole(idf_done).render_latex()
     assert "\\begin{tabular}" in tex
+
+
+def test_bench_json_safe_strips_nonfinite():
+    """The bench's JSON line must stay strict-JSON even when the SDP
+    certificate carries inf/nan (e.g. newton_lambda on an uncentered
+    solve) — json.dumps would otherwise emit the invalid tokens
+    Infinity/NaN."""
+    import importlib.util
+    import json
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(REPO, "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    sys.modules["bench"] = bench
+    spec.loader.exec_module(bench)
+    raw = {"a": float("inf"), "b": [float("nan"), 1.0],
+           "c": {"d": -float("inf"), "e": "x"}}
+    out = bench._json_safe(raw)
+    s = json.dumps(out)  # must not raise / contain Infinity
+    assert "Infinity" not in s and "NaN" not in s
+    assert json.loads(s) == {"a": None, "b": [None, 1.0],
+                             "c": {"d": None, "e": "x"}}

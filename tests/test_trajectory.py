@@ -124,8 +124,9 @@ def test_objective_gradient_flows(arm_model):
     for k in [0, 1, spec.dim // 2, spec.dim - 1]:
         xp = x0.copy(); xp[k] += eps
         xm = x0.copy(); xm[k] -= eps
-        fd = (obj._penalized(jnp.asarray(xp), obj.dopt_scale, 10.0)
-              - obj._penalized(jnp.asarray(xm), obj.dopt_scale, 10.0)) / (2 * eps)
+        fd = (obj._penalized(jnp.asarray(xp), obj.dopt_scale, 10.0, obj._shift_j)
+              - obj._penalized(jnp.asarray(xm), obj.dopt_scale, 10.0, obj._shift_j)
+              ) / (2 * eps)
         np.testing.assert_allclose(grad[k], float(fd), rtol=8e-3, atol=1e-3)
 
 
