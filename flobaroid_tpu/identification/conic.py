@@ -150,17 +150,44 @@ class _BarrierCore:
     def __init__(self, A, b, groups, psd_eps, n):
         self.A = None if A is None or len(A) == 0 else np.asarray(A, np.float64)
         self.b = None if self.A is None else np.asarray(b, np.float64)
-        # fold the -eps*I shift into F0 once
-        self.groups = [
-            (F0 - psd_eps * np.eye(F0.shape[-1])[None, :, :], F) for F0, F in groups
-        ]
+        # fold the -eps*I shift into F0 once; exploit BLOCK SPARSITY:
+        # each PSD block (a pseudo-inertia / friction LMI) depends on a
+        # handful of the n decision variables (typically 10-13 of ~400
+        # at humanoid scale), so every barrier quantity is computed over
+        # per-block ACTIVE columns (K, ..., nv) gathered from x and
+        # scatter-added back — the dense (K, d, d, n) form made the
+        # Hessian Gram GEMM the dominant Newton-iteration cost (~50
+        # MFLOP vs ~50 kFLOP sparse at 30 DOF).
+        self.groups = []
+        for F0, F in groups:
+            F0s = F0 - psd_eps * np.eye(F0.shape[-1])[None, :, :]
+            K = F.shape[0]
+            act = [np.nonzero(np.any(F[k] != 0.0, axis=(0, 1)))[0] for k in range(K)]
+            nv = max((len(a) for a in act), default=0)
+            if nv == 0 or nv > n // 2:
+                # dense-ish blocks: keep the dense path
+                self.groups.append((F0s, F, None, None))
+                continue
+            idx = np.zeros((K, nv), dtype=np.int32)
+            Fc = np.zeros(F.shape[:3] + (nv,), dtype=F.dtype)
+            for k, a in enumerate(act):
+                idx[k, : len(a)] = a
+                Fc[k, :, :, : len(a)] = F[k][:, :, a]
+            self.groups.append((F0s, F, Fc, idx))
         self.n = n
         self.nu = float((0 if self.A is None else self.A.shape[0])
                         + sum(F0.shape[0] * F0.shape[1] for F0, _ in groups))
 
     def _blocks(self, x):
-        for F0, F in self.groups:
-            yield jnp.asarray(F0) + jnp.einsum("kabn,n->kab", jnp.asarray(F), x)
+        for F0, F, Fc, idx in self.groups:
+            if Fc is not None:
+                yield jnp.asarray(F0) + jnp.einsum(
+                    "kabv,kv->kab", jnp.asarray(Fc), x[jnp.asarray(idx)]
+                )
+            else:
+                yield jnp.asarray(F0) + jnp.einsum(
+                    "kabn,n->kab", jnp.asarray(F), x
+                )
 
     def value(self, x):
         """-sum log slacks - sum logdet blocks; nan/inf when infeasible."""
@@ -185,31 +212,40 @@ class _BarrierCore:
             si = 1.0 / (jnp.asarray(self.b) - Aj @ x)
             g = g + Aj.T @ si
             H = H + (Aj * (si**2)[:, None]).T @ Aj
-        for (F0, F), M in zip(self.groups, self._blocks(x)):
+        for (F0, F, Fc, idx), M in zip(self.groups, self._blocks(x)):
             # whitened symmetric form: S_n = L^{-1} F_n L^{-T} gives
             #   d/dx_n   -logdet M = -tr(S_n)
             #   d2/dx_nm           =  tr(S_n S_m) = vec_sym(S_n).vec_sym(S_m)
-            # S is symmetric, so H assembles as ONE (n, K*d(d+1)/2)
-            # Gram GEMM over packed upper triangles (1.7x fewer FLOPs
-            # than the kabn,kbam einsum; this line is ~90% of a Newton
-            # iteration at 30 DOF on a single-core host)
-            Fj = jnp.asarray(F)
+            # computed over each block's ACTIVE columns only (nv << n),
+            # with per-block (nv, nv) Hessians scatter-added into H —
+            # the dense packed-triangle GEMM this replaces was ~90% of a
+            # Newton iteration at 30 DOF on a single-core host
+            sparse = Fc is not None
+            Fj = jnp.asarray(Fc if sparse else F)
             K, d = Fj.shape[0], Fj.shape[1]
+            nv = Fj.shape[-1]
             L = jnp.linalg.cholesky(M)
             X = solve_triangular(
-                L, Fj.reshape(K, d, d * self.n), lower=True
-            ).reshape(K, d, d, self.n)
-            Z = jnp.transpose(X, (0, 2, 1, 3)).reshape(K, d, d * self.n)
+                L, Fj.reshape(K, d, d * nv), lower=True
+            ).reshape(K, d, d, nv)
+            Z = jnp.transpose(X, (0, 2, 1, 3)).reshape(K, d, d * nv)
             S = jnp.transpose(
-                solve_triangular(L, Z, lower=True).reshape(K, d, d, self.n),
+                solve_triangular(L, Z, lower=True).reshape(K, d, d, nv),
                 (0, 2, 1, 3),
-            )  # (K, a, b, n), symmetric in (a, b)
+            )  # (K, a, b, v), symmetric in (a, b)
             iu = np.triu_indices(d)
             w = np.where(iu[0] == iu[1], 1.0, np.sqrt(2.0))
             Ws = S[:, iu[0], iu[1], :] * jnp.asarray(w)[None, :, None]
-            Wm = Ws.reshape(-1, self.n)
-            g = g - jnp.einsum("kaan->n", S)
-            H = H + Wm.T @ Wm
+            gk = -jnp.einsum("kaav->kv", S)
+            if sparse:
+                ij = jnp.asarray(idx)
+                Hk = jnp.einsum("ktv,ktw->kvw", Ws, Ws)
+                g = g.at[ij].add(gk)
+                H = H.at[ij[:, :, None], ij[:, None, :]].add(Hk)
+            else:
+                Wm = Ws.reshape(-1, nv)
+                g = g + gk.sum(axis=0)
+                H = H + Wm.T @ Wm
         return g, H
 
     def feas_slack(self, x):

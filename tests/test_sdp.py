@@ -302,3 +302,44 @@ def test_conic_stopped_status_not_stale():
     )
     assert status2 == "stopped"
     assert solver.last_info["status"] == "stopped"
+
+
+def test_sparse_barrier_parity():
+    """The block-sparse barrier derivatives (per-block active columns +
+    scatter-add) must match the dense form and autodiff exactly — the
+    sparse path carries the whole Newton iteration at humanoid scale."""
+    import jax
+    import jax.numpy as jnp
+
+    from flobaroid_tpu.identification.conic import _BarrierCore
+
+    rng = np.random.default_rng(0)
+    n, K, d, m = 60, 7, 4, 12
+    F = rng.normal(0, 0.1, (K, d, d, n))
+    F = (F + np.swapaxes(F, 1, 2)) / 2
+    for k in range(K):
+        keep = rng.choice(n, 9, replace=False)
+        msk = np.zeros(n, bool)
+        msk[keep] = True
+        F[k, :, :, ~msk] = 0
+    F0 = np.broadcast_to(np.eye(d) * 2.0, (K, d, d)).copy()
+    A = rng.normal(0, 0.2, (m, n))
+    b = np.abs(rng.normal(2, 0.5, m))
+    with jax.enable_x64(True):
+        core = _BarrierCore(A, b, [(F0, F)], 1e-6, n)
+        dense = _BarrierCore(A, b, [(F0, F)], 1e-6, n)
+        dense.groups = [(g[0], g[1], None, None) for g in dense.groups]
+        assert core.groups[0][2] is not None  # sparse path taken
+        x = jnp.asarray(rng.normal(0, 0.05, n))
+        np.testing.assert_allclose(
+            float(core.value(x)), float(dense.value(x)), rtol=1e-12
+        )
+        g1, H1 = core.grad_hess(x)
+        g2, H2 = dense.grad_hess(x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(H1), np.asarray(H2),
+                                   rtol=1e-10, atol=1e-12)
+        ga = jax.grad(core.value)(x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(ga),
+                                   rtol=1e-8, atol=1e-10)
