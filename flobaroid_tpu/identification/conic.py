@@ -177,6 +177,23 @@ class _BarrierCore:
         self.n = n
         self.nu = float((0 if self.A is None else self.A.shape[0])
                         + sum(F0.shape[0] * F0.shape[1] for F0, _ in groups))
+        # same treatment for the linear inequalities: mass/COM boxes and
+        # friction-positivity rows are 1-4 sparse, so the dense
+        # (A si^2)^T A outer-product GEMM (m n^2 ~ 50 MFLOP at humanoid
+        # scale) becomes (m, na, na) outer products scatter-added
+        self._A_sp = None
+        if self.A is not None:
+            nnz = (self.A != 0.0).sum(axis=1)
+            na = int(nnz.max()) if len(nnz) else 0
+            if 0 < na <= max(8, n // 16):
+                m = self.A.shape[0]
+                aidx = np.zeros((m, na), dtype=np.int32)
+                aval = np.zeros((m, na), dtype=np.float64)
+                for i in range(m):
+                    c = np.nonzero(self.A[i] != 0.0)[0]
+                    aidx[i, : len(c)] = c
+                    aval[i, : len(c)] = self.A[i, c]
+                self._A_sp = (aval, aidx)
 
     def _blocks(self, x):
         for F0, F, Fc, idx in self.groups:
@@ -208,10 +225,18 @@ class _BarrierCore:
         g = jnp.zeros(self.n, dtype=x.dtype)
         H = jnp.zeros((self.n, self.n), dtype=x.dtype)
         if self.A is not None:
-            Aj = jnp.asarray(self.A)
-            si = 1.0 / (jnp.asarray(self.b) - Aj @ x)
-            g = g + Aj.T @ si
-            H = H + (Aj * (si**2)[:, None]).T @ Aj
+            if self._A_sp is not None:
+                av, ai = (jnp.asarray(a) for a in self._A_sp)
+                ax = jnp.einsum("ma,ma->m", av, x[ai])
+                si = 1.0 / (jnp.asarray(self.b) - ax)
+                g = g.at[ai].add(av * si[:, None])
+                Ho = jnp.einsum("m,ma,mb->mab", si**2, av, av)
+                H = H.at[ai[:, :, None], ai[:, None, :]].add(Ho)
+            else:
+                Aj = jnp.asarray(self.A)
+                si = 1.0 / (jnp.asarray(self.b) - Aj @ x)
+                g = g + Aj.T @ si
+                H = H + (Aj * (si**2)[:, None]).T @ Aj
         for (F0, F, Fc, idx), M in zip(self.groups, self._blocks(x)):
             # whitened symmetric form: S_n = L^{-1} F_n L^{-T} gives
             #   d/dx_n   -logdet M = -tr(S_n)
@@ -303,11 +328,19 @@ class QuadBarrierSolver:
             return t * quad(x, H, q) + core.value(x)
 
         def newton_step(x, t, H, q):
+            from jax.scipy.linalg import cho_factor, cho_solve
+
             gb, Hb = core.grad_hess(x)
             g = t * (H @ x + q) + gb
             Hm = t * H + Hb
             lam = 1e-12 * jnp.maximum(jnp.trace(Hm) / n, 1.0)
-            dx = jnp.linalg.solve(Hm + lam * jnp.eye(n, dtype=x.dtype), -g)
+            # Hm is SPD (t H convex + barrier Hessian + ridge): Cholesky
+            # solves at ~half the LU cost; a non-PSD breakdown yields
+            # NaN, caught by the `bad` fallback below
+            dx = cho_solve(
+                cho_factor(Hm + lam * jnp.eye(n, dtype=x.dtype), lower=True),
+                -g,
+            )
             dec = -g @ dx
             bad = ~jnp.isfinite(dec) | (dec <= 0) | ~jnp.all(jnp.isfinite(dx))
             dx = jnp.where(bad, -g, dx)
@@ -583,12 +616,18 @@ def barrier_minimize(
     @jax.jit
     def newton_run(x, t, tol, max_iter, stall_ratio):
         def newton_step(x):
+            from jax.scipy.linalg import cho_factor, cho_solve
+
             gb, Hb = core.grad_hess(x)
             g = t * grad_obj(x) + gb
             Ho = H_const if H_const is not None else hess_obj(x)
             H = t * Ho + Hb
             lam = 1e-12 * jnp.maximum(jnp.trace(H) / n, 1.0)
-            dx = jnp.linalg.solve(H + lam * jnp.eye(n, dtype=dtype), -g)
+            # SPD system -> Cholesky (see QuadBarrierSolver.newton_step)
+            dx = cho_solve(
+                cho_factor(H + lam * jnp.eye(n, dtype=dtype), lower=True),
+                -g,
+            )
             dec = -g @ dx
             bad = ~jnp.isfinite(dec) | (dec <= 0) | ~jnp.all(jnp.isfinite(dx))
             dx = jnp.where(bad, -g, dx)

@@ -323,13 +323,19 @@ def test_sparse_barrier_parity():
         msk[keep] = True
         F[k, :, :, ~msk] = 0
     F0 = np.broadcast_to(np.eye(d) * 2.0, (K, d, d)).copy()
-    A = rng.normal(0, 0.2, (m, n))
+    # sparse inequality rows (mass/COM-box style: <= 3 nonzeros)
+    A = np.zeros((m, n))
+    for i in range(m):
+        c = rng.choice(n, 3, replace=False)
+        A[i, c] = rng.normal(0, 0.2, 3)
     b = np.abs(rng.normal(2, 0.5, m))
     with jax.enable_x64(True):
         core = _BarrierCore(A, b, [(F0, F)], 1e-6, n)
         dense = _BarrierCore(A, b, [(F0, F)], 1e-6, n)
         dense.groups = [(g[0], g[1], None, None) for g in dense.groups]
-        assert core.groups[0][2] is not None  # sparse path taken
+        dense._A_sp = None
+        assert core.groups[0][2] is not None  # sparse PSD path taken
+        assert core._A_sp is not None  # sparse inequality path taken
         x = jnp.asarray(rng.normal(0, 0.05, n))
         np.testing.assert_allclose(
             float(core.value(x)), float(dense.value(x)), rtol=1e-12
