@@ -142,9 +142,14 @@ def run_humanoid30():
 def main():
     import jax
 
-    from flobaroid_tpu.utils.cli import enable_compilation_cache
+    from flobaroid_tpu.utils.cli import setup_jax
 
-    enable_compilation_cache()
+    # honor JAX_PLATFORMS + enable the persistent compile cache BEFORE
+    # any backend initialization: the runtime may pre-import jax with an
+    # accelerator platform baked into jax.config (sitecustomize), which
+    # silently overrides the env var — `JAX_PLATFORMS=cpu python
+    # bench.py` must run on CPU as documented
+    setup_jax()
 
     here = os.path.dirname(os.path.abspath(__file__))
     src_urdf = os.path.join(here, "examples", "models", "sevenlink_arm.urdf")

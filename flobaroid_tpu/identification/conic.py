@@ -327,11 +327,55 @@ class QuadBarrierSolver:
         def psi(x, t, H, q):
             return t * quad(x, H, q) + core.value(x)
 
+        def _lin_barrier(y):
+            """(slack vector, [block matrices]) — both AFFINE in y, so
+            one evaluation at x and one at dx describe the whole ray
+            x + s*dx (the per-candidate A@x / x'Hx GEMMs of a naive
+            40-point line search dominate an iteration once the
+            Hessian assembly is sparse)."""
+            slack = None
+            if core.A is not None:
+                if core._A_sp is not None:
+                    av, ai = (jnp.asarray(a) for a in core._A_sp)
+                    slack = jnp.einsum("ma,ma->m", av, y[ai])
+                else:
+                    slack = jnp.asarray(core.A) @ y
+            Ms = []
+            for F0, F, Fc, idx in core.groups:
+                if Fc is not None:
+                    Ms.append(jnp.einsum(
+                        "kabv,kv->kab", jnp.asarray(Fc), y[jnp.asarray(idx)]
+                    ))
+                else:
+                    Ms.append(jnp.einsum("kabn,n->kab", jnp.asarray(F), y))
+            return slack, Ms
+
+        def _ray_barrier_vals(x, dx, steps_ext):
+            """Barrier value at x + s*dx for every s (nan when
+            infeasible): slacks sweep as slack0 - s*dslack, blocks as
+            M0 + s*dM — no per-candidate reconstruction."""
+            ax, Ms0 = _lin_barrier(x)
+            adx, dMs = _lin_barrier(dx)
+            tot = jnp.zeros_like(steps_ext)
+            if ax is not None:
+                sl = (jnp.asarray(core.b) - ax)[None, :] \
+                    - steps_ext[:, None] * adx[None, :]
+                tot = tot - jnp.sum(jnp.log(sl), axis=1)
+            for (F0, _, _, _), M0, dM in zip(core.groups, Ms0, dMs):
+                Mse = (jnp.asarray(F0) + M0)[None] \
+                    + steps_ext[:, None, None, None] * dM[None]
+                L = jnp.linalg.cholesky(Mse)
+                tot = tot - 2.0 * jnp.sum(
+                    jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=(1, 2)
+                )
+            return tot
+
         def newton_step(x, t, H, q):
             from jax.scipy.linalg import cho_factor, cho_solve
 
             gb, Hb = core.grad_hess(x)
-            g = t * (H @ x + q) + gb
+            Hx_q = H @ x + q
+            g = t * Hx_q + gb
             Hm = t * H + Hb
             lam = 1e-12 * jnp.maximum(jnp.trace(Hm) / n, 1.0)
             # Hm is SPD (t H convex + barrier Hessian + ridge): Cholesky
@@ -345,14 +389,23 @@ class QuadBarrierSolver:
             bad = ~jnp.isfinite(dec) | (dec <= 0) | ~jnp.all(jnp.isfinite(dx))
             dx = jnp.where(bad, -g, dx)
             dec = jnp.where(bad, g @ g, dec)
-            v0 = psi(x, t, H, q)
-            cand = x[None, :] + steps[:, None] * dx[None, :]
-            vals = jax.vmap(psi, in_axes=(0, None, None, None))(cand, t, H, q)
+            # ray-form line search: the quadratic is exactly quadratic
+            # in the step, the barrier affine maps sweep as M0 + s*dM
+            steps_ext = jnp.concatenate([jnp.zeros(1, steps.dtype), steps])
+            bvals = _ray_barrier_vals(x, dx, steps_ext)
+            qx = quad(x, H, q)
+            a1 = dx @ Hx_q
+            b2 = 0.5 * dx @ (H @ dx)
+            quad_ext = qx + steps_ext * a1 + steps_ext**2 * b2
+            vals_ext = t * quad_ext + bvals
+            v0 = vals_ext[0]
+            vals = vals_ext[1:]
             ok = jnp.isfinite(vals) & (vals <= v0 - 1e-4 * steps * dec)
             any_ok = jnp.any(ok)
             idx = jnp.argmax(ok)
             step_sel = jnp.where(any_ok, steps[idx], 0.0).astype(x.dtype)
-            return jnp.where(any_ok, cand[idx], x), dec, any_ok, step_sel
+            xn = x + step_sel * dx
+            return jnp.where(any_ok, xn, x), dec, any_ok, step_sel
 
         def newton_run(x, t, H, q, tol, max_iter, stall_ratio):
             """A whole centering stage in ONE dispatch: lax.while_loop
