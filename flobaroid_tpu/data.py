@@ -343,31 +343,31 @@ class Data:
             for b in unused:
                 print(f"not using block {b} (cond {conds[b]:.3g})")
 
-        # near-duplicate variance patterns (reference data.py:282-311)
+        # Near-duplicate variance-pattern pruning, behavior-parity with
+        # the reference (data.py:282-311): blocks are ordered by the
+        # variance of their per-link condition pattern; inside a run of
+        # near-equal values (<15% relative) the middle of a close triple
+        # is redundant, and for a close pair the earlier one is. Exact
+        # decision parity matters here — it determines which measurement
+        # blocks enter the assembled regressor.
         if link_conds is not None and len(used) > 2:
             lc = np.asarray([link_conds[b] for b in used], dtype=float)
-            finite = np.where(np.isfinite(lc), lc, 0.0)
-            variances = np.var(finite, axis=1)
-            sort_idx = np.argsort(variances)
-            dist = 0.15
-            to_delete = []
-            i = 1
-            c = len(used)
-            while i < c:
-                if (
-                    i < c - 1
-                    and abs(variances[sort_idx][i - 1] - variances[sort_idx][i + 1])
-                    < abs(variances[sort_idx][i + 1]) * dist
-                ):
-                    to_delete.append(sort_idx[i])
-                    i += 1
-                elif (
-                    abs(variances[sort_idx][i - 1] - variances[sort_idx][i])
-                    < abs(variances[sort_idx][i]) * dist
-                ):
-                    to_delete.append(sort_idx[i - 1])
+            pattern_var = np.var(np.where(np.isfinite(lc), lc, 0.0), axis=1)
+            order = np.argsort(pattern_var)
+            v = pattern_var[order]
+            rel_close = lambda a, b: abs(a - b) < abs(b) * 0.15
+            drop_pos: list[int] = []
+            i, n_used = 1, len(used)
+            while i < n_used:
+                if i + 1 < n_used and rel_close(v[i - 1], v[i + 1]):
+                    # close triple: outer pair stays, middle goes
+                    drop_pos.append(order[i])
+                    i += 2
+                    continue
+                if rel_close(v[i - 1], v[i]):
+                    drop_pos.append(order[i - 1])
                 i += 1
-            dropped = {used[d] for d in to_delete}
+            dropped = {used[d] for d in drop_pos}
             if dropped and self.opt.get("verbose"):
                 print(f"dropping near-duplicate blocks {sorted(dropped)}")
             unused = sorted(set(unused) | dropped)
