@@ -389,7 +389,22 @@ class Model:
 
         Q, V, A, BR, BV, BA = self._gather_state(samples, idx)
 
-        need_sim = opt["simulateTorques"] or opt["useAPriori"] or opt["floatingBase"]
+        # a-priori torque simulation is only consumed when (a) torques are
+        # simulated outright, (b) useAPriori needs tau_apriori, or (c) a
+        # floating-base dataset carries joint-only measurements whose 6
+        # base-wrench rows must be filled in from the model. A full-row
+        # floating-base dataset (e.g. the walking-contact scenario) skips
+        # an entire regressor pass over the data here.
+        tq_cols = (
+            np.asarray(samples["torques"]).shape[-1]
+            if "torques" in samples
+            else 0
+        )
+        need_sim = (
+            opt["simulateTorques"]
+            or opt["useAPriori"]
+            or (opt["floatingBase"] and tq_cols < rows)
+        )
         pi_urdf = self.xStdModel[: self.num_model_params]
         # the stacked Y block is not needed in streaming mode (Grams are
         # accumulated on device) nor for only_simulate — skip the large

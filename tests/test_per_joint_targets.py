@@ -8,9 +8,10 @@ docs/design_notes.md names per-joint targets as the lever for the
 measurable, noise-free form of "friction recovery improves" is the
 friction estimator's predicted standard error sqrt([(Y^T Y)^-1]_jj) for
 the viscous-friction columns: it lower-bounds the achievable recovery
-accuracy for ANY noise realization. The test optimizes the same arm
-with and without per-joint targets on its weakly-excited joints and
-asserts the targeted joints' Fv standard errors drop.
+accuracy for ANY noise realization. The first test optimizes the same
+arm with and without per-joint targets on its weakly-excited joints and
+asserts the targeted joints' Fv standard errors drop; the second
+measures actual recovery error under noise on the same trajectories.
 """
 
 import os
@@ -38,7 +39,18 @@ BASE = dict(
 WEAK = ["arm_0_joint", "arm_1_joint", "arm_2_joint"]
 
 
-def _fv_stderr(extra=None, seed=2):
+# trajectory optimization is the expensive part — run it once per
+# config and share the result between the predicted-stderr and the
+# measured-recovery tests below
+_RUNS: dict = {}
+
+
+def _opt_run(extra=None, seed=2):
+    key = (tuple(sorted((extra or {}).items(), key=repr)), seed)
+    key = repr(key)
+    if key in _RUNS:
+        return _RUNS[key]
+
     from flobaroid_tpu.data import Data
     from flobaroid_tpu.excitation.optimizer import optimize_trajectory
     from flobaroid_tpu.excitation.trajectory import fourier_traj
@@ -64,30 +76,84 @@ def _fv_stderr(extra=None, seed=2):
     d.init_from_data(samples)
     model.computeRegressors(d)
     Y = model.YStd.reshape(-1, model.num_identified_params)
-    Ci = np.linalg.pinv(Y.T @ Y, rcond=1e-12)
     nd = model.num_dofs
     fs = model.friction_params_start
-    pos = [model.identified_params.index(fs + nd + j) for j in range(nd)]
-    se = np.sqrt(np.abs(np.diag(Ci)[pos]))
-    widx = [model.jointNames.index(j) for j in WEAK]
-    return se, widx, bool(info.get("feasible"))
+    fv_pos = [model.identified_params.index(fs + nd + j) for j in range(nd)]
+    fc_pos = [model.identified_params.index(fs + j) for j in range(nd)]
+    run = {
+        "Y": np.asarray(Y, dtype=np.float64),
+        "nd": nd,
+        "fv_pos": fv_pos,
+        "fc_pos": fc_pos,
+        "x_model": np.asarray(
+            model.xStdModel[model.identified_params], dtype=np.float64
+        ),
+        "widx": [model.jointNames.index(j) for j in WEAK],
+        "feasible": bool(info.get("feasible")),
+    }
+    _RUNS[key] = run
+    return run
+
+
+def _fv_stderr(extra=None, seed=2):
+    run = _opt_run(extra, seed)
+    Y = run["Y"]
+    Ci = np.linalg.pinv(Y.T @ Y, rcond=1e-12)
+    se = np.sqrt(np.abs(np.diag(Ci)[run["fv_pos"]]))
+    return se, run["widx"], run["feasible"]
+
+
+_TARGETED = dict(
+    minVelocityConstraint=1,
+    minVelocityPercentage={j: 0.55 for j in WEAK},
+    trajectoryTargetVelocity={"arm_0_joint": 1.7, "arm_1_joint": 1.7,
+                              "arm_2_joint": 1.9},
+)
 
 
 def test_per_joint_targets_improve_friction_identifiability():
     se0, widx, _ = _fv_stderr()
-    tgt = dict(
-        minVelocityConstraint=1,
-        minVelocityPercentage={j: 0.55 for j in WEAK},
-        trajectoryTargetVelocity={"arm_0_joint": 1.7, "arm_1_joint": 1.7,
-                                  "arm_2_joint": 1.9},
-    )
-    se1, _, feas = _fv_stderr(tgt)
+    se1, _, feas = _fv_stderr(_TARGETED)
     assert feas, "per-joint hard velocity floors made the problem infeasible"
     ratios = se1[widx] / se0[widx]
     # every targeted weak joint's predicted Fv standard error improves,
     # substantially on average (measured 0.49 / 0.24 / 0.90)
     assert np.max(ratios) < 1.0, f"targeted joints got worse: {ratios}"
     assert np.mean(ratios) < 0.75, f"mean improvement too small: {ratios}"
+
+
+def test_per_joint_targets_improve_measured_fv_recovery():
+    """MEASURED end-to-end recovery (VERDICT r2 #5's literal ask), not
+    just the predicted bound: simulate noisy torques from a known
+    friction model on each optimized trajectory, estimate with the same
+    OLS the identifier uses, and compare the empirical Fv recovery
+    error of the weakly-excited joints across noise realizations."""
+    base = _opt_run()
+    tgt = _opt_run(_TARGETED)
+    sigma, n_draws = 0.05, 8
+    rng = np.random.default_rng(7)
+
+    def rms_fv_error(run):
+        nd = run["nd"]
+        fv_true = np.linspace(0.1, 0.4, nd)
+        fc_true = np.linspace(0.3, 0.8, nd)
+        x_true = run["x_model"].copy()
+        x_true[run["fv_pos"]] = fv_true
+        x_true[run["fc_pos"]] = fc_true
+        Y = run["Y"]
+        tau = Y @ x_true
+        errs = []
+        for _ in range(n_draws):
+            xhat = np.linalg.lstsq(
+                Y, tau + sigma * rng.standard_normal(tau.shape), rcond=None
+            )[0]
+            errs.append(xhat[run["fv_pos"]] - fv_true)
+        return np.sqrt(np.mean(np.square(errs), axis=0))
+
+    e0, e1 = rms_fv_error(base), rms_fv_error(tgt)
+    ratios = e1[base["widx"]] / e0[base["widx"]]
+    assert np.max(ratios) < 1.0, f"measured recovery got worse: {ratios}"
+    assert np.mean(ratios) < 0.8, f"mean measured improvement too small: {ratios}"
 
 
 def test_per_joint_torque_util_dict_penalizes_shortfall():
