@@ -275,7 +275,24 @@ class Data:
             [_np.gradient(rot_vel_w[:, j], T) for j in range(3)], axis=1
         )
 
-        s["base_rpy"] = rpy
+        # base_rpy must be stored in the npz INVERSE convention
+        # world_R_base = RPY(rpy)^T (reference
+        # suspendedDynamics.py:176-182, consumed at model.py:273-275).
+        # IMUrpy is the orientation estimate in the DIRECT convention
+        # (world_R_imu = RPY(IMUrpy) — that is the rotation used to map
+        # the readings to world above); writing it through unconverted,
+        # as the reference does (data.py:595), hands the estimator the
+        # TRANSPOSED base rotation. Convert here: rpy_storage =
+        # rot_to_rpy(R^T). (First-order small for a near-level torso,
+        # which is why it survived on real data; caught by the walking-
+        # scenario IMU loop test, round 4.)
+        import jax as _jax
+
+        R_T = _np.swapaxes(R, 1, 2)
+        rpy_storage = _np.asarray(
+            _jax.vmap(sp_alg.rot_to_rpy)(_np.ascontiguousarray(R_T))
+        )
+        s["base_rpy"] = rpy_storage
         s["base_velocity"] = _np.concatenate([lin_vel, rot_vel_w], axis=1)
         s["base_acceleration"] = _np.concatenate([lin_acc_w, rot_acc], axis=1)
 

