@@ -139,6 +139,42 @@ def run_humanoid30():
     }
 
 
+def run_cad_quality():
+    """Third metric: the reference's flagship estimation-QUALITY study
+    (CAD-regularization mode ordering on the suspended humanoid;
+    reference documentation/analysis_findings.md:45-68). Identifies the
+    checked-in suspended-measurement artifact with all four
+    cadRegularizationModes and reports L2 distances to the real
+    (perturbed) model + whether the reference's ordering reproduced."""
+    from flobaroid_tpu.identification.cad_study import run_cad_study
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    cad = os.path.join(here, "examples", "models", "humanoid30.urdf")
+    real = os.path.join(here, "examples", "models", "humanoid30_real.urdf")
+    meas = os.path.join(here, "examples", "data",
+                        "humanoid30_suspended_cad.npz")
+    if not (os.path.exists(real) and os.path.exists(meas)):
+        return {"skipped": "artifacts missing"}
+    t0 = time.time()
+    res = run_cad_study(cad, real, meas,
+                        base_overrides=dict(skipSamples=1))
+    b = {m: res[m]["base_dist"] for m in
+         ("uniform", "observability", "geometric", "geometric_obs")}
+    ordering_ok = bool(
+        b["uniform"] > b["observability"] > 0.98 * b["geometric"]
+        and abs(b["geometric"] - b["geometric_obs"]) < 0.15 * b["geometric"]
+    )
+    return {
+        "wallclock_s": round(time.time() - t0, 1),
+        "base_dist": {m: round(v, 3) for m, v in b.items()},
+        "std_dist": {m: round(res[m]["std_dist"], 3) for m in b},
+        "apriori": {k: round(v, 3) for k, v in res["apriori"].items()},
+        "reference_base_dist": {"uniform": 4.80, "observability": 2.82,
+                                "geometric": 2.25, "geometric_obs": 2.26},
+        "ordering_reproduced": ordering_ok,
+    }
+
+
 def main():
     import jax
 
@@ -246,6 +282,12 @@ def main():
     except Exception as e:  # must never take down the headline metric
         h30 = {"error": f"{type(e).__name__}: {e}"}
 
+    # third metric: CAD-regularization quality-study ordering
+    try:
+        cadq = run_cad_quality()
+    except Exception as e:
+        cadq = {"error": f"{type(e).__name__}: {e}"}
+
     ok = res_error < 1.0 and xb_err < 0.05 and consistent
     result = {
         "metric": "sevenlink_simulate_identify_ols_sdp_wallclock",
@@ -266,6 +308,7 @@ def main():
             "sdp_status": idf.sdp.last_status if idf.sdp else None,
             "n_samples": n_samples,
             "humanoid30_streamed_identify": h30,
+            "cad_quality_study": cadq,
         },
     }
     print(json.dumps(_json_safe(result)))

@@ -646,8 +646,8 @@ class Model:
             Y = jnp.concatenate([Y, F], axis=2)
         return Y
 
-    def _streaming_fns(self, floating: bool):
-        key = ("stream", floating)
+    def _streaming_fns(self, floating: bool, vsig_same: bool = False):
+        key = ("stream", floating, vsig_same)
         if key not in self._regr_jit_cache:
             import jax
             import jax.numpy as jnp
@@ -694,11 +694,27 @@ class Model:
                 return jnp.einsum("nrp,kp->knr", Y, x,
                                   precision=jax.lax.Precision.HIGHEST)
 
-            def unpack(st):
+            nd_ = self.num_dofs
+
+            def unpack(pk):
+                """Split one packed (chunk, C) state array into the
+                build_Y arguments. The state crosses the runtime relay
+                as a SINGLE transfer (one RTT instead of seven;
+                measured ~0.5 s of the warm humanoid30 identify was
+                per-array staging), and vsig is aliased to V when the
+                dataset has no separately filtered sign velocities."""
+                Q = pk[..., :nd_]
+                V = pk[..., nd_: 2 * nd_]
+                A = pk[..., 2 * nd_: 3 * nd_]
+                i = 3 * nd_
+                BR = BV = BA = None
                 if floating:
-                    return st
-                Q, V, A, vsig = st
-                return Q, V, A, None, None, None, vsig
+                    BR = pk[..., i: i + 9].reshape(pk.shape[:-1] + (3, 3))
+                    BV = pk[..., i + 9: i + 15]
+                    BA = pk[..., i + 15: i + 21]
+                    i += 21
+                vsig = V if vsig_same else pk[..., i: i + nd_]
+                return Q, V, A, BR, BV, BA, vsig
 
             def gram_scan(stacks, taus, cfs, n_valid):
                 """All chunks in ONE dispatch: lax.scan over the chunk
@@ -722,7 +738,7 @@ class Model:
                     return (G + Gc, g + gc, gcf + gcfc), None
 
                 rows = taus.shape[-1]
-                Y0 = build_Y(*unpack(tuple(s[0] for s in stacks)))
+                Y0 = build_Y(*unpack(stacks[0]))
                 P = Y0.shape[-1]
                 dt0 = Y0.dtype
                 init = (
@@ -885,7 +901,7 @@ class Model:
 
         eng = self.engine
         floating = bool(self.opt["floatingBase"])
-        fns = self._streaming_fns(floating)
+        fns = self._streaming_fns(floating, staged["vsig_same"])
         build_Y, gram_from_Y, unpack = (
             fns["build_Y_raw"], fns["gram_from_Y_raw"], fns["unpack_raw"]
         )
@@ -926,7 +942,7 @@ class Model:
                     Gc, gc, gcfc = gram_from_Y(Y, tau, cf, mask)
                     return (G + Gc, g + gc, gcf + gcfc, k + 1), (Y, cf, tau)
 
-                Y0 = build_Y(*unpack(tuple(s[0] for s in stacks)))
+                Y0 = build_Y(*unpack(stacks[0]))
                 P = Y0.shape[-1]
                 dt0 = Y0.dtype
                 init = (
@@ -1027,20 +1043,28 @@ class Model:
             return to_dev(a.reshape((n_chunks, chunk) + a.shape[1:]),
                           sample_axis=1)
 
+        # PACK the per-sample state into ONE (n_chunks, chunk, C) array:
+        # a single host->device transfer instead of seven (each put pays
+        # a relay round trip), the sign series derived on device from
+        # vsig, and vsig itself dropped when it aliases the pipeline
+        # velocities (no separately filtered sign velocities) — together
+        # ~40% of the staging bytes and 6 RTTs saved per pass
+        vsig_same = bool(np.array_equal(vsig, V))
+        flat = [np.asarray(Q), np.asarray(V), np.asarray(A)]
+        if BR is not None:
+            flat += [np.asarray(BR).reshape(len(BR), 9),
+                     np.asarray(BV), np.asarray(BA)]
+        if not vsig_same:
+            flat.append(np.asarray(vsig))
+        packed = pad(np.ascontiguousarray(np.concatenate(flat, axis=1)))
         stacks = None
         if n_chunks <= 64:
-            # the device stacks EXCLUDE the sign series (host index 6):
-            # it is recomputed on device as tanh(vsig/thresh) inside
-            # build_Y — no need to pay its transfer
-            stacks = tuple(
-                stackc(a) for i, a in enumerate(host)
-                if a is not None and i != 6
-            )
+            stacks = stackc(packed)
         self._pmark("stage_transfer", _t, sync=stacks)
         st = dict(N=N, rows=rows, chunk=chunk, n_pad=n_pad,
                   n_chunks=n_chunks, host=host, stacks=stacks,
                   stackc=stackc, to_dev=to_dev, pad=pad,
-                  sign=sign, vsig=vsig)
+                  sign=sign, vsig=vsig, vsig_same=vsig_same)
         self._staged = st
         return st
 
@@ -1067,7 +1091,8 @@ class Model:
             staged["ycache_off"] = True
             return None
         _t = self._p0()
-        fns = self._streaming_fns(bool(opt["floatingBase"]))
+        fns = self._streaming_fns(bool(opt["floatingBase"]),
+                                  staged["vsig_same"])
         staged["Ystack"] = fns["build_scan"](staged["stacks"])
         self._pmark("ystack_build", _t, sync=staged["Ystack"])
         return staged["Ystack"]
@@ -1078,7 +1103,8 @@ class Model:
         import jax.numpy as jnp
 
         opt = self.opt
-        fns = self._streaming_fns(bool(opt["floatingBase"]))
+        fns = self._streaming_fns(bool(opt["floatingBase"]),
+                                  staged["vsig_same"])
         dt = self._compute_dtype()
         N, rows = staged["N"], staged["rows"]
         K = len(xs)
@@ -1121,8 +1147,8 @@ class Model:
             )
         dt = self._compute_dtype()
         floating = bool(opt["floatingBase"])
-        fns = self._streaming_fns(floating)
         staged = self._stage_streaming(samples, idx, N, rows, Q, V, A, BR, BV, BA)
+        fns = self._streaming_fns(floating, staged["vsig_same"])
         tau2d = self.tau.reshape(N, rows)
         cf2d = self.contactForcesSum.reshape(N, rows)
         chunk, n_pad, n_chunks = staged["chunk"], staged["n_pad"], staged["n_chunks"]
@@ -1298,7 +1324,8 @@ class Model:
                 cf2d = self.contactForcesSum.reshape(N, rows)
                 staged["taum_stack"] = staged["stackc"](staged["pad"](taum))
                 staged["cfm_stack"] = staged["stackc"](staged["pad"](cf2d))
-            fns = self._streaming_fns(bool(opt["floatingBase"]))
+            fns = self._streaming_fns(bool(opt["floatingBase"]),
+                                      staged["vsig_same"])
             _t = self._p0()
             xj = jnp.asarray(np.stack(missing), dt)
             rp, pp, tp, bn = fns["resid_scan"](
@@ -1402,7 +1429,9 @@ class Model:
 
         eng = self.engine
         floating = bool(self.opt["floatingBase"])
-        key = ("contactSumScan", tuple(link_indices), floating)
+        unpack = self._streaming_fns(floating, staged["vsig_same"])["unpack_raw"]
+        key = ("contactSumScan", tuple(link_indices), floating,
+               staged["vsig_same"])
         if key not in self._regr_jit_cache:
 
             def per_sample(q, br, w):
@@ -1413,37 +1442,26 @@ class Model:
                     out = out + J.T @ w[f]
                 return out
 
-            if floating:
-
-                def scan_fn(Qs, BRs, Ws):
-                    def step(carry, xs):
-                        q, br, w = xs
+            def scan_fn(stacks, Ws):
+                def step(carry, xs):
+                    st, w = xs
+                    a = unpack(st)
+                    q, br = a[0], a[3]
+                    if floating:
                         return carry, jax.vmap(per_sample)(q, br, w)
+                    return carry, jax.vmap(
+                        lambda qq, ww: per_sample(qq, None, ww)
+                    )(q, w)
 
-                    _, out = jax.lax.scan(step, 0, (Qs, BRs, Ws))
-                    return out
-            else:
-
-                def scan_fn(Qs, Ws):
-                    def step(carry, xs):
-                        q, w = xs
-                        return carry, jax.vmap(
-                            lambda qq, ww: per_sample(qq, None, ww)
-                        )(q, w)
-
-                    _, out = jax.lax.scan(step, 0, (Qs, Ws))
-                    return out
+                _, out = jax.lax.scan(step, 0, (stacks, Ws))
+                return out
 
             self._regr_jit_cache[key] = jax.jit(scan_fn)
         fn = self._regr_jit_cache[key]
         # (N, F, 6) -> (n_chunks, chunk, F, 6) on device; frame axis
         # stays dense so every frame shares the one FK per sample
         Ws = staged["stackc"](staged["pad"](np.asarray(W, dtype=float)))
-        stacks = staged["stacks"]
-        if floating:
-            out = fn(stacks[0], stacks[3], Ws)
-        else:
-            out = fn(stacks[0], Ws)
+        out = fn(staged["stacks"], Ws)
         return np.asarray(out, dtype=float).reshape(
             staged["n_pad"], 6 + self.num_dofs
         )[: staged["N"]]
