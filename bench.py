@@ -113,7 +113,7 @@ def run_humanoid30():
     idf.data.init_from_data(dict(samples))
     idf.estimateParameters()
     walls = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         idf.data.init_from_data(dict(samples))
         idf.estimateParameters()

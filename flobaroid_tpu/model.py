@@ -510,13 +510,13 @@ class Model:
                     # dispatch; Y/cf/tau chunks stay device-resident for
                     # the rest of the pass (_walk_gram_fused docstring)
                     add_cf = fb and not getattr(data, "contacts_in_torques", False)
-                    G, g, gcf, Yst, cf_stack, tau_stack = self._walk_gram_fused(
-                        lis, staged, W, torq, add_cf
+                    G, g, gcf, Yst, cf_stack, tau_stack, aggs = (
+                        self._walk_gram_fused(lis, staged, W, torq, add_cf)
                     )
                     staged["Ystack"] = Yst
                     staged["taum_stack"] = tau_stack
                     staged["cfm_stack"] = cf_stack
-                    self._walk_fused = (G, g, gcf)
+                    self._walk_fused = (G, g, gcf, aggs)
                     _t = self._p0()
                     contacts_sum += np.asarray(cf_stack, dtype=float).reshape(
                         staged["n_pad"], rows
@@ -954,7 +954,22 @@ class Model:
                 (G, g, gcf, _), (Ystack, cf_stack, tau_stack) = jax.lax.scan(
                     step, init, (stacks, Ws, torqs)
                 )
-                return G, g, gcf, Ystack, cf_stack, tau_stack
+                # OLS std-space aggregates (w2 = 1) in the SAME dispatch
+                # (the separate _agg_jit round trip cost ~0.09 s/pass).
+                # The base-space projections stay on the HOST in f64: an
+                # f32 on-device Pb^T G Pb loses ~0.1 absolute on
+                # 1e6-scale Gram entries, which tripled the SDP's Newton
+                # work (measured: SDP stage 0.22 -> 0.69 s)
+                Gs = jnp.sum(G, axis=0)
+                gt = jnp.sum(g, axis=0)
+                gc = jnp.sum(gcf, axis=0)
+                aggs = (
+                    Gs, gt, gc,
+                    jnp.sum(tau_stack**2, axis=(0, 1)),
+                    jnp.sum(tau_stack * cf_stack, axis=(0, 1)),
+                    jnp.sum(cf_stack**2, axis=(0, 1)),
+                )
+                return G, g, gcf, Ystack, cf_stack, tau_stack, aggs
 
             self._regr_jit_cache[key] = jax.jit(walk_scan)
         fn = self._regr_jit_cache[key]
@@ -1158,9 +1173,44 @@ class Model:
         if getattr(self, "_walk_fused", None) is not None:
             # the fused walking-contact dispatch already accumulated the
             # per-channel Grams (and left Y/cf/tau chunks device-resident)
-            G, g, gcf = self._walk_fused
+            # AND the w2=1 OLS aggregates — populate the aggregate cache
+            # directly instead of re-dispatching _agg_jit
+            G, g, gcf, aggs = self._walk_fused
             self._walk_fused = None
-        elif staged["stacks"] is not None:
+            self.YStd = None
+            self.YBase = None
+            self.G_rows, self.g_rows, self.gcf_rows = G, g, gcf
+            (Gs, gt, gc, tsr, tcr, csr) = aggs
+            self.tau_sq_rows = np.asarray(tsr, dtype=float)
+            self.tau_cf_rows = np.asarray(tcr, dtype=float)
+            self.cf_sq_rows = np.asarray(csr, dtype=float)
+            self.G_std = np.asarray(Gs, dtype=float)
+            self.g_tau = np.asarray(gt, dtype=float)
+            self.g_cf = np.asarray(gc, dtype=float)
+            # base projection in host f64 (precision-critical for the
+            # downstream Cholesky/SDP; see walk_scan comment)
+            Pb = self.B if opt["useBasisProjection"] else self.Pb
+            self.G_base = Pb.T @ self.G_std @ Pb
+            self.g_base = Pb.T @ self.g_tau
+            self.g_cf_base = Pb.T @ self.g_cf
+            self.tau_sq = float(self.tau_sq_rows.sum())
+            self.tau_cf = float(self.tau_cf_rows.sum())
+            self.cf_sq = float(self.cf_sq_rows.sum())
+            if not opt["useStructuralRegressor"]:
+                # data-derived QR changes the base projection — the
+                # fused base-space aggregates are stale; recompute them
+                # (and do NOT seed the cache with the stale tuple)
+                self.computeRegressorLinDepsQR(self.G_std)
+                self._set_streaming_aggregates(np.ones(rows))
+                return
+            cache = self._agg_cache
+            cache[np.ones(rows).tobytes()] = (
+                self.G_std, self.g_tau, self.g_cf, self.tau_sq,
+                self.tau_cf, self.cf_sq, self.G_base, self.g_base,
+                self.g_cf_base,
+            )
+            return
+        if staged["stacks"] is not None:
             # one dispatch for ALL chunks: lax.scan-accumulate on device.
             # Measured 6.3 s -> sub-second at 13770x30-DOF through the
             # runtime relay. The per-channel Grams stay DEVICE-RESIDENT:
