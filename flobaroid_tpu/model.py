@@ -243,6 +243,50 @@ class Model:
     def _compute_dtype(self):
         return jnp.dtype(self.opt.get("computeDtype", "float32"))
 
+    @property
+    def contactForcesSum(self):
+        """Flattened (N*rows,) summed contact torque contributions J^T w.
+        On the fused walking path the full series stays device-resident
+        (staged cfm_stack) and only materializes here on first access —
+        eager consumers of the pass need just the 6 base-wrench columns
+        (reference identifier.py only ever adds contacts into the base
+        rows / torque estimates)."""
+        if self._cf_sum_host is None and self._cf_stack_dev is not None:
+            cf_stack, n_pad, N, rows = self._cf_stack_dev
+            self._cf_sum_host = np.asarray(
+                cf_stack, dtype=float).reshape(n_pad, rows)[:N].reshape(-1)
+        return self._cf_sum_host
+
+    @contactForcesSum.setter
+    def contactForcesSum(self, v) -> None:
+        self._cf_sum_host = v
+        self._cf_stack_dev = None
+
+    def _staged_put(self, tag, host_arr, put, extra_key=()):
+        """Content-memoized host->device staging. The tunneled TPU pays
+        ~0.3-1 s per ~10 MB of relay transfer, and real workflows re-run
+        identify on bytes that are already device-resident (bench warm
+        loop, block-selection re-identification, essential-params
+        passes, CAD-mode sweeps on one Model). Fingerprint the exact
+        host bytes (crc32, ~1 GB/s) and skip the transfer on a hit —
+        compute still re-runs every pass; only identical input bytes
+        are never re-shipped. One cached entry per tag."""
+        import zlib
+
+        a = np.ascontiguousarray(host_arr)
+        fp = (a.shape, str(a.dtype), tuple(extra_key),
+              zlib.crc32(memoryview(a).cast("B")))
+        cache = getattr(self, "_put_cache", None)
+        if cache is None:
+            cache = self._put_cache = {}
+        hit = cache.get(tag)
+        if hit is not None and hit[0] == fp:
+            return hit[1]
+        cache.pop(tag, None)  # free the old device buffer before realloc
+        dev = put(a)
+        cache[tag] = (fp, dev)
+        return dev
+
     def _batched_rows(
         self, Q, DQ, DDQ, BR=None, BV=None, BA=None, pi=None, sim_only=False
     ):
@@ -486,6 +530,7 @@ class Model:
         num_contacts = 0
         contacts_sum = np.zeros((N, rows))
         self._walk_fused = None
+        fused_cf_lazy = None
         if "contacts" in samples and np.asarray(samples["contacts"]).ndim == 0:
             cdict = samples["contacts"].item(0)
             num_contacts = len(cdict)
@@ -517,11 +562,18 @@ class Model:
                     staged["taum_stack"] = tau_stack
                     staged["cfm_stack"] = cf_stack
                     self._walk_fused = (G, g, gcf, aggs)
+                    # fetch only the 6 base-wrench columns eagerly (the
+                    # host torque write-back below needs them); the full
+                    # (N, rows) series stays device-resident and the
+                    # contactForcesSum property materializes it lazily
+                    # (~2 MB relay fetch saved on the hot pass)
                     _t = self._p0()
-                    contacts_sum += np.asarray(cf_stack, dtype=float).reshape(
-                        staged["n_pad"], rows
-                    )[:N]
+                    fused_cf6 = np.asarray(
+                        cf_stack[:, :, :6], dtype=float
+                    ).reshape(staged["n_pad"], 6)[:N]
+                    contacts_sum[:, :6] += fused_cf6
                     self._pmark("contact_fetch", _t)
+                    fused_cf_lazy = (cf_stack, staged["n_pad"], N, rows)
                 else:
                     _t = self._p0()
                     contacts_sum += self._contact_torques_sum_staged(
@@ -532,7 +584,13 @@ class Model:
                 for li, w in frames:
                     contrib = self._contact_torques(li, Q, BR, w)  # (N, 6+nd)
                     contacts_sum += contrib[:, -rows:]
-        self.contactForcesSum = contacts_sum.reshape(-1)
+        if fused_cf_lazy is not None:
+            # contacts_sum holds only the base-wrench columns here; the
+            # full series is device-resident behind the lazy property
+            self.contactForcesSum = None
+            self._cf_stack_dev = fused_cf_lazy
+        else:
+            self.contactForcesSum = contacts_sum.reshape(-1)
 
         if fb:
             if opt["simulateTorques"]:
@@ -975,8 +1033,13 @@ class Model:
         fn = self._regr_jit_cache[key]
         dt = self._compute_dtype()
         _t = self._p0()
-        Ws = staged["stackc"](staged["pad"](np.asarray(W, dtype=float)))
-        torqs = staged["stackc"](staged["pad"](np.asarray(torq_raw, dtype=float)))
+        sk = (staged["chunk"], staged.get("shards", 0))
+        Ws = self._staged_put(
+            "wrench", staged["pad"](np.asarray(W, dtype=dt)),
+            staged["stackc"], extra_key=sk)
+        torqs = self._staged_put(
+            "torq", staged["pad"](np.asarray(torq_raw, dtype=dt)),
+            staged["stackc"], extra_key=sk)
         out = fn(staged["stacks"], Ws, torqs, jnp.asarray(staged["N"], dt))
         self._pmark("walk_gram_fused", _t, sync=out)
         return out
@@ -1071,14 +1134,19 @@ class Model:
                      np.asarray(BV), np.asarray(BA)]
         if not vsig_same:
             flat.append(np.asarray(vsig))
-        packed = pad(np.ascontiguousarray(np.concatenate(flat, axis=1)))
+        # pack in the compute dtype on the host: halves the relay bytes
+        # vs shipping f64, and lets the staging cache fingerprint the
+        # exact bytes that reach the device
+        packed = pad(np.ascontiguousarray(
+            np.concatenate(flat, axis=1).astype(dt)))
         stacks = None
         if n_chunks <= 64:
-            stacks = stackc(packed)
+            stacks = self._staged_put(
+                "state", packed, stackc, extra_key=(chunk, shards))
         self._pmark("stage_transfer", _t, sync=stacks)
         st = dict(N=N, rows=rows, chunk=chunk, n_pad=n_pad,
                   n_chunks=n_chunks, host=host, stacks=stacks,
-                  stackc=stackc, to_dev=to_dev, pad=pad,
+                  stackc=stackc, to_dev=to_dev, pad=pad, shards=shards,
                   sign=sign, vsig=vsig, vsig_same=vsig_same)
         self._staged = st
         return st
@@ -1164,8 +1232,6 @@ class Model:
         floating = bool(opt["floatingBase"])
         staged = self._stage_streaming(samples, idx, N, rows, Q, V, A, BR, BV, BA)
         fns = self._streaming_fns(floating, staged["vsig_same"])
-        tau2d = self.tau.reshape(N, rows)
-        cf2d = self.contactForcesSum.reshape(N, rows)
         chunk, n_pad, n_chunks = staged["chunk"], staged["n_pad"], staged["n_chunks"]
         pad, to_dev, stackc = staged["pad"], staged["to_dev"], staged["stackc"]
 
@@ -1210,6 +1276,8 @@ class Model:
                 self.g_cf_base,
             )
             return
+        tau2d = self.tau.reshape(N, rows)
+        cf2d = self.contactForcesSum.reshape(N, rows)
         if staged["stacks"] is not None:
             # one dispatch for ALL chunks: lax.scan-accumulate on device.
             # Measured 6.3 s -> sub-second at 13770x30-DOF through the
