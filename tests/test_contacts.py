@@ -317,3 +317,38 @@ def test_walking_imu_preprocessing_loop(setup):
     lv = _sig.detrend(sm["base_velocity"][core, :3], axis=0, type="linear")
     lt = _sig.detrend(bv_true[core, :3], axis=0, type="linear")
     assert np.sqrt(np.mean((lv - lt) ** 2)) < 0.02
+
+
+def test_staging_cache_invalidates_on_new_bytes(setup):
+    """The content-memoized host->device staging (model._staged_put)
+    must be transparent: re-identifying DIFFERENT data on the same
+    Identification must match a fresh-model identify of that data (no
+    stale device buffers), and re-identifying the SAME data must
+    reproduce the first result (cache hit changes nothing)."""
+    from flobaroid_tpu.simulation.scenarios import walking_contact_scenario
+
+    idf = _identify(setup, setup["noisy"])
+    xb_noisy = np.array(idf.model.xBase)
+    cf_noisy = np.array(idf.model.contactForcesSum)
+
+    # same Identification, different bytes (the clean dataset)
+    idf.data.init_from_data(dict(setup["clean"]))
+    idf.estimateParameters()
+    xb_clean_warm = np.array(idf.model.xBase)
+    cf_clean_warm = np.array(idf.model.contactForcesSum)
+    assert not np.allclose(xb_clean_warm, xb_noisy)  # cache really missed
+
+    fresh = _identify(setup, setup["clean"])
+    np.testing.assert_allclose(xb_clean_warm, np.asarray(fresh.model.xBase),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(cf_clean_warm,
+                               np.asarray(fresh.model.contactForcesSum),
+                               rtol=1e-10, atol=1e-12)
+
+    # back to the first dataset: pure cache hit must reproduce run 1
+    idf.data.init_from_data(dict(setup["noisy"]))
+    idf.estimateParameters()
+    np.testing.assert_allclose(np.asarray(idf.model.xBase), xb_noisy,
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(idf.model.contactForcesSum),
+                               cf_noisy, rtol=1e-10, atol=1e-12)

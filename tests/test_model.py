@@ -148,6 +148,42 @@ def test_gravity_only_mode(tmp_path):
     assert rel < 0.05, rel
 
 
+def test_structural_cache_sidecar(tmp_path):
+    """A getRandomRegressor call with non-default options must not
+    clobber the canonical <urdf>.regressor.npz (the checked-in cache a
+    fresh environment relies on): mismatching results go to an
+    options-keyed sidecar, and a repeat call reuses that sidecar."""
+    import shutil
+
+    urdf = str(tmp_path / "arm.urdf")
+    shutil.copy(ARM_URDF, urdf)
+    canonical = urdf + ".regressor.npz"
+    shutil.copy(ARM_URDF + ".regressor.npz", canonical)
+    before = open(canonical, "rb").read()
+
+    # canonical hit: default-n request must not rewrite the file
+    n_default = int(np.load(canonical)["n"])
+    m = Model(opt_base(randomSamples=n_default), urdf, regressor_init=False)
+    m.getRandomRegressor(n_default)
+    assert open(canonical, "rb").read() == before
+
+    # mismatching n: canonical preserved, sidecar written
+    m2 = Model(opt_base(randomSamples=64), urdf, regressor_init=False)
+    R, Q, RQ, PQ = m2.getRandomRegressor(64)
+    assert open(canonical, "rb").read() == before
+    sidecars = [f for f in os.listdir(tmp_path)
+                if f.endswith(".regressor.npz") and f != os.path.basename(canonical)]
+    assert len(sidecars) == 1, sidecars
+    side = str(tmp_path / sidecars[0])
+    mtime = os.path.getmtime(side)
+
+    # repeat call: served from the sidecar, nothing rewritten
+    R2, _, _, PQ2 = m2.getRandomRegressor(64)
+    assert os.path.getmtime(side) == mtime
+    np.testing.assert_array_equal(R, R2)
+    np.testing.assert_array_equal(PQ, PQ2)
+
+
 def test_config_keys_are_wired():
     """Every key in DEFAULTS must be referenced somewhere outside
     config.py (a documented key wired to nothing silently lies to the
