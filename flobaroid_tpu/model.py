@@ -151,9 +151,16 @@ class Model:
 
         self._regr_jit_cache: dict[Any, Any] = {}
         # true precision of on-device Gram/regressor values (drives the
-        # QR rank threshold in computeRegressorLinDepsQR)
+        # QR rank threshold in computeRegressorLinDepsQR). Note JAX
+        # silently truncates f64 arrays to f32 when x64 is disabled, so
+        # computeDtype=float64 alone does not guarantee f64 values — the
+        # rank threshold must track the ACTUAL precision or noise
+        # directions read as independent (measured: rank 80 instead of
+        # 64 on the 7-DOF arm when trusting the option string).
         self._gram_dtype = (
-            np.float32 if "32" in str(opt.get("computeDtype", "float32")) else np.float64
+            np.float64
+            if "64" in str(opt.get("computeDtype", "float32")) and jax.config.jax_enable_x64
+            else np.float32
         )
 
         if regressor_init:
@@ -1869,6 +1876,47 @@ class Model:
                     terms.append(f"{coeff:+.4g}*{name}")
             eqs.append(" ".join(terms).lstrip("+ "))
         return eqs
+
+    def structural_identifiability(self, tol: float = 1e-6) -> dict:
+        """Structural identifiability triple over the inertial parameters
+        (reference documentation/design_notes.md:98-103: the 29-DOF
+        suspended walkman has ~70 individually identifiable params, ~213
+        base directions and a ~207-direction null space of ~420 params).
+
+        - individually_identifiable: params that appear ALONE in a base
+          combination (their value is determined, not just a lumped sum)
+        - base_directions: rank of the structural regressor (what any
+          amount of excitation can ever determine)
+        - null_directions: identified inertial params minus the rank —
+          the recoverable-only-with-more-sensors gap
+        Friction/offset columns are excluded so the triple is comparable
+        to the reference's inertial-only analysis.
+        """
+        if not hasattr(self, "K"):
+            raise ValueError("structural_identifiability needs "
+                             "computeRegressorLinDepsQR to have run")
+        n_inertial = self.num_model_params  # 10-per-link slots
+        inertial_cols = [ci for ci, p in enumerate(self.identified_params)
+                         if p < n_inertial]
+        inertial_set = set(inertial_cols)
+        individual = set()
+        inertial_rank = 0
+        for row in self.K:
+            nz = np.nonzero(np.abs(row) > tol)[0]
+            nz_inertial = [c for c in nz if c in inertial_set]
+            if not nz_inertial:
+                continue  # pure friction/offset direction
+            inertial_rank += 1
+            if len(nz) == 1:
+                individual.add(self.identified_params[nz[0]])
+        n_id_inertial = len(inertial_cols)
+        return {
+            "individually_identifiable": len(individual),
+            "individually_identifiable_params": sorted(individual),
+            "base_directions": inertial_rank,
+            "null_directions": n_id_inertial - inertial_rank,
+            "n_inertial_params": n_id_inertial,
+        }
 
     def getSubregressorsConditionNumbers(self, YBase=None, G=None) -> list[float]:
         """Per-link condition number of the base columns its parameters

@@ -125,6 +125,19 @@ class OutputConsole:
         total_mass = float(np.sum(xStd[0 : m.num_model_params : 10]))
         total_mass_ap = float(np.sum(m.xStdModel[0 : m.num_model_params : 10]))
         lines.append(f"total mass: {total_mass:.4f} kg (a priori {total_mass_ap:.4f} kg)")
+        # structural identifiability triple (the reference documents the
+        # analogous analysis in documentation/design_notes.md:98-103)
+        try:
+            tr = m.structural_identifiability()
+            lines.append(
+                "structural identifiability: "
+                f"{tr['individually_identifiable']} individually identifiable, "
+                f"{tr['base_directions']} base directions, "
+                f"{tr['null_directions']} null directions "
+                f"of {tr['n_inertial_params']} inertial params"
+            )
+        except ValueError:
+            pass
 
         if idf.tauEstimated is not None:
             tauM = m.tauMeasured

@@ -184,6 +184,56 @@ def test_structural_cache_sidecar(tmp_path):
     np.testing.assert_array_equal(PQ, PQ2)
 
 
+def test_structural_identifiability_triple():
+    """Identifiability triple on the 7-DOF arm (reference
+    documentation/design_notes.md:98-103 reports the analogous triple
+    ~70/~213/~207 for the 29-DOF walkman). Fixed-base 7R chain:
+    textbook inertial rank 43 (the golden KUKA cache's rank 64 minus
+    its 21 friction columns), 37-direction null space."""
+    o = opt_base(identifyFrictionSimultaneously=1)
+    m = Model(o, ARM_URDF)
+    t = m.structural_identifiability()
+    assert t["n_inertial_params"] == 80
+    assert t["base_directions"] == 43
+    assert t["null_directions"] == 37
+    # lumping exists: not every base direction is a single parameter
+    assert t["individually_identifiable"] == 24
+    assert all(p < m.num_model_params
+               for p in t["individually_identifiable_params"])
+
+
+def test_rank_threshold_tracks_actual_precision(tmp_path):
+    """computeDtype=float64 with x64 DISABLED silently truncates the
+    on-device Gram to f32; the QR rank threshold must follow the actual
+    precision or f32 noise directions read as independent (measured:
+    rank 80 instead of 64 on this arm). Needs a fresh process — the
+    test session enables x64 globally."""
+    import shutil
+    import subprocess
+    import sys
+
+    urdf = str(tmp_path / "arm.urdf")
+    shutil.copy(ARM_URDF, urdf)
+    script = f"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+assert not jax.config.jax_enable_x64
+from flobaroid_tpu.model import Model
+from flobaroid_tpu.utils.config import load_config
+o = load_config(None)
+o.update(dict(verbose=0, useStructuralRegressor=1, floatingBase=0,
+              randomSamples=300, identifyFrictionSimultaneously=1,
+              computeDtype="float64"))
+m = Model(o, {urdf!r})
+assert m.num_base_params == 64, m.num_base_params
+print("rank-ok")
+"""
+    r = subprocess.run([sys.executable, "-c", script], capture_output=True,
+                       text=True, cwd=REPO, timeout=540)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "rank-ok" in r.stdout
+
+
 def test_config_keys_are_wired():
     """Every key in DEFAULTS must be referenced somewhere outside
     config.py (a documented key wired to nothing silently lies to the
