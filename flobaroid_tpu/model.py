@@ -1654,6 +1654,16 @@ class Model:
             try:
                 f = np.load(path)
                 if _matches(f):
+                    # The rank threshold must reflect the noise floor of
+                    # the Gram AS STORED, not the current compute dtype:
+                    # an f32-accumulated cache read by an f64 run carries
+                    # an O(eps_f32 * maxdiag) floor that reads as ~100
+                    # spurious base directions under the f64 threshold
+                    # (measured: rank 412 instead of 310 on humanoid30).
+                    # Caches written before the dtype was recorded are
+                    # assumed f32 (the conservative floor).
+                    gdt = str(f["gdt"]) if "gdt" in f.files else "float32"
+                    self._gram_dtype = np.float64 if "64" in gdt else np.float32
                     return f["R"], f["Q"], f["RQ"], f["PQ"]
                 if path == regr_filename:
                     canonical_taken = True
@@ -1674,6 +1684,7 @@ class Model:
                 grav_only=opt["identifyGravityParamsOnly"],
                 fric=opt["identifyFrictionSimultaneously"],
                 fric_sym=opt["identifySymmetricVelFriction"],
+                gdt=np.dtype(self._gram_dtype).name,
             )
         except OSError:
             pass  # read-only model dir: recompute next time
@@ -1917,6 +1928,105 @@ class Model:
             "null_directions": n_id_inertial - inertial_rank,
             "n_inertial_params": n_id_inertial,
         }
+
+    def sensor_placement_study(
+        self, sensor_sets: dict, n_samples: int = 2000
+    ) -> dict:
+        """Structural rank gain from adding 6-axis F/T sensors
+        (reference documentation/design_notes.md:104-110: each added
+        F/T recovers ~3 of the walkman's ~207 null directions, roughly
+        additive for disjoint placements; known payloads do not change
+        the rank at all).
+
+        sensor_sets: {name: [link names]} candidate placements. For
+        each, the structural Gram of the row-extended regressor
+        [Y_std; Y_sensors] is accumulated over random in-limit states
+        and the inertial rank compared to the sensor-less baseline.
+        Friction columns are excluded — an F/T sensor says nothing
+        about joint friction, and the triple stays comparable to
+        structural_identifiability()."""
+        opt = self.opt
+        eng = self.engine
+        nd = self.num_dofs
+        dt = self._compute_dtype()
+        floating = bool(opt["floatingBase"])
+        jn = self.jointNames
+        if self.limits:
+            lo = np.array([self.limits[j]["lower"] for j in jn])
+            hi = np.array([self.limits[j]["upper"] for j in jn])
+            vl = np.array([self.limits[j]["velocity"] for j in jn])
+            lo = np.where(np.isfinite(lo), lo, -np.pi)
+            hi = np.where(np.isfinite(hi), hi, np.pi)
+            vl = np.where(np.isfinite(vl), vl, np.pi)
+        else:
+            lo, hi, vl = -np.pi * np.ones(nd), np.pi * np.ones(nd), np.pi * np.ones(nd)
+
+        def gram_for(links: tuple[int, ...]) -> np.ndarray:
+            def sample(key):
+                ks = jax.random.split(key, 6)
+                q = jnp.asarray(lo, dt) + jnp.asarray(hi - lo, dt) * \
+                    jax.random.uniform(ks[0], (nd,), dtype=dt)
+                dq = (jax.random.uniform(ks[1], (nd,), dtype=dt) - 0.5) * 2 * jnp.asarray(vl, dt)
+                ddq = (jax.random.uniform(ks[2], (nd,), dtype=dt) - 0.5) * 2 * jnp.pi
+                if floating:
+                    bv = jnp.pi * jax.random.uniform(ks[3], (6,), dtype=dt)
+                    ba = jnp.pi * jax.random.uniform(ks[4], (6,), dtype=dt)
+                    rpy = jax.random.uniform(ks[5], (3,), dtype=dt) * 0.1
+                    br = rpy_to_base_rot(rpy)
+                    Y = eng.regressor(q, dq, ddq, br, bv, ba)
+                    rows = [Y]
+                    if links:
+                        rows.append(eng.sensor_wrench_regressor(links, q, dq, ddq, br, bv, ba))
+                else:
+                    Y = eng.regressor(q, dq, ddq)
+                    rows = [Y]
+                    if links:
+                        rows.append(eng.sensor_wrench_regressor(links, q, dq, ddq))
+                return jnp.concatenate(rows, axis=0)
+
+            chunk = min(int(self.opt.get("gramChunk", 4096)), n_samples)
+
+            @jax.jit
+            def gram_chunk(keys):
+                Ys = jax.vmap(sample)(keys)
+                P = Ys.shape[-1]
+                Yf = Ys.reshape(-1, P)
+                return jnp.einsum("rp,rq->pq", Yf, Yf,
+                                  precision=jax.lax.Precision.HIGHEST)
+
+            G = np.zeros((self.num_model_params, self.num_model_params))
+            key = jax.random.PRNGKey(7)
+            done = 0
+            while done < n_samples:
+                key, sub = jax.random.split(key)
+                G += np.asarray(gram_chunk(jax.random.split(sub, chunk)), dtype=float)
+                done += chunk
+            return G
+
+        def rank_of(G: np.ndarray) -> int:
+            _, R, _ = sla.qr(G, pivoting=True, mode="economic")
+            diag = np.abs(np.diag(R))
+            eps = np.finfo(self._gram_dtype).eps
+            tol = max(float(self.opt["minTol"]), 100.0 * eps * float(diag.max(initial=0.0)))
+            return int(np.sum(diag > tol))
+
+        name_to_idx = {n: i for i, n in enumerate(self.linkNames)}
+        base_rank = rank_of(gram_for(()))
+        out = {
+            "baseline_rank": base_rank,
+            "n_inertial_params": self.num_model_params,
+            "null_directions": self.num_model_params - base_rank,
+            "sets": {},
+        }
+        for name, links in sensor_sets.items():
+            idx = tuple(sorted(name_to_idx[l] for l in links))
+            r = rank_of(gram_for(idx))
+            out["sets"][name] = {
+                "links": list(links),
+                "rank": r,
+                "gain": r - base_rank,
+            }
+        return out
 
     def getSubregressorsConditionNumbers(self, YBase=None, G=None) -> list[float]:
         """Per-link condition number of the base columns its parameters

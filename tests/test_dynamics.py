@@ -141,6 +141,47 @@ def test_regressor_matches_rnea_floating(rr):
         np.testing.assert_allclose(Y @ pi, tau, rtol=1e-9, atol=1e-10)
 
 
+def test_sensor_wrench_regressor(rr):
+    """F/T-sensor wrench regressor (sensor-placement analysis; the
+    reference documents the analogous study in
+    documentation/design_notes.md:104-110). Three oracles: a root-link
+    sensor reproduces the floating-base wrench rows exactly; a mid-chain
+    sensor's wrench equals the base wrench of the same state with all
+    non-subtree parameters zeroed; columns of links outside the subtree
+    are identically zero."""
+    tree, eng, pi = rr
+    q, dq, ddq, rpy, drpy, ddrpy, dpb, ddpb = rand_state(
+        eng, jax.random.PRNGKey(7)
+    )
+    br, bv, ba = mixed_base_args(rpy, drpy, ddrpy, dpb, ddpb)
+    Y = eng.regressor(q, dq, ddq, br, bv, ba)
+
+    Ys0 = eng.sensor_wrench_regressor([0], q, dq, ddq, br, bv, ba)
+    np.testing.assert_allclose(np.asarray(Ys0), np.asarray(Y[:6]),
+                               rtol=1e-12, atol=1e-12)
+
+    li = tree.link_names.index("l2")
+    Ys = eng.sensor_wrench_regressor([li], q, dq, ddq, br, bv, ba)
+    sub = eng.subtree_mask[li]
+    pi_sub = (np.asarray(pi).reshape(-1, 10) * sub[:, None]).reshape(-1)
+    np.testing.assert_allclose(np.asarray(Ys @ pi), np.asarray(Y[:6] @ pi_sub),
+                               rtol=1e-9, atol=1e-10)
+    outside = np.repeat(1 - sub, 10).astype(bool)
+    np.testing.assert_allclose(np.asarray(Ys)[:, outside], 0.0, atol=0.0)
+
+    # fixed-base variant: sensor above the first moving link sees the
+    # whole arm's reaction = floating rows at the same (default) base
+    li1 = tree.link_names.index("l1")
+    Ys1 = eng.sensor_wrench_regressor([li1], q, dq, ddq)
+    I = jnp.eye(3, dtype=q.dtype)
+    z = jnp.zeros(6, dtype=q.dtype)
+    Yfl = eng.regressor(q, dq, ddq, I, z, z)
+    sub1 = np.repeat(eng.subtree_mask[li1], 10).astype(bool)
+    np.testing.assert_allclose(np.asarray(Ys1)[:, sub1],
+                               np.asarray(Yfl[:6])[:, sub1],
+                               rtol=1e-10, atol=1e-10)
+
+
 def test_rnea_matches_lagrangian_fixed(rr):
     _, eng, pi = rr
     for seed in range(4):

@@ -234,6 +234,25 @@ print("rank-ok")
     assert "rank-ok" in r.stdout
 
 
+def test_sensor_placement_study():
+    """Structural rank gain from added F/T sensors (reference
+    documentation/design_notes.md:104-110: each added 6-axis F/T
+    recovers ~3 null directions, roughly additive for disjoint
+    placements). On the 7-DOF arm both placements give exactly +3 and
+    compose additively — the reference's walkman measurement."""
+    o = opt_base(identifyFrictionSimultaneously=0)
+    m = Model(o, ARM_URDF, regressor_init=False)
+    wrist, elbow = m.linkNames[-1], m.linkNames[4]
+    s = m.sensor_placement_study(
+        {"wrist": [wrist], "elbow": [elbow], "both": [wrist, elbow]},
+        n_samples=600,
+    )
+    assert s["baseline_rank"] == 43 and s["null_directions"] == 37
+    assert s["sets"]["wrist"]["gain"] == 3
+    assert s["sets"]["elbow"]["gain"] == 3
+    assert s["sets"]["both"]["gain"] == 6
+
+
 def test_config_keys_are_wired():
     """Every key in DEFAULTS must be referenced somewhere outside
     config.py (a documented key wired to nothing silently lies to the
