@@ -562,23 +562,21 @@ class Model:
                     # dispatch; Y/cf/tau chunks stay device-resident for
                     # the rest of the pass (_walk_gram_fused docstring)
                     add_cf = fb and not getattr(data, "contacts_in_torques", False)
-                    G, g, gcf, Yst, cf_stack, tau_stack, aggs = (
+                    G, g, gcf, Yst, cf_stack, tau_stack, aggs, cf6 = (
                         self._walk_gram_fused(lis, staged, W, torq, add_cf)
                     )
                     staged["Ystack"] = Yst
                     staged["taum_stack"] = tau_stack
                     staged["cfm_stack"] = cf_stack
                     self._walk_fused = (G, g, gcf, aggs)
-                    # fetch only the 6 base-wrench columns eagerly (the
-                    # host torque write-back below needs them); the full
-                    # (N, rows) series stays device-resident and the
-                    # contactForcesSum property materializes it lazily
-                    # (~2 MB relay fetch saved on the hot pass)
+                    # only the 6 base-wrench columns cross to the host
+                    # (computed inside the fused dispatch — no separate
+                    # round-trip; the host torque write-back below needs
+                    # exactly them); the full (N, rows) series stays
+                    # device-resident and the contactForcesSum property
+                    # materializes it lazily
                     _t = self._p0()
-                    fused_cf6 = np.asarray(
-                        cf_stack[:, :, :6], dtype=float
-                    ).reshape(staged["n_pad"], 6)[:N]
-                    contacts_sum[:, :6] += fused_cf6
+                    contacts_sum[:, :6] += np.asarray(cf6, dtype=float)[:N]
                     self._pmark("contact_fetch", _t)
                     fused_cf_lazy = (cf_stack, staged["n_pad"], N, rows)
                 else:
@@ -1034,7 +1032,12 @@ class Model:
                     jnp.sum(tau_stack * cf_stack, axis=(0, 1)),
                     jnp.sum(cf_stack**2, axis=(0, 1)),
                 )
-                return G, g, gcf, Ystack, cf_stack, tau_stack, aggs
+                # the 6 base-wrench columns of the contact series ride
+                # along: the host torque write-back needs exactly these,
+                # and returning them here saves a separate relay
+                # round-trip per pass (the full series stays lazy)
+                cf6 = cf_stack[:, :, :6].reshape(-1, 6)
+                return G, g, gcf, Ystack, cf_stack, tau_stack, aggs, cf6
 
             self._regr_jit_cache[key] = jax.jit(walk_scan)
         fn = self._regr_jit_cache[key]
