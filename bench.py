@@ -122,9 +122,21 @@ def run_humanoid30():
 
     rel = float(np.linalg.norm(idf.model.xBase - idf.model.xBaseModel)
                 / np.linalg.norm(idf.model.xBaseModel))
+    # base-regressor conditioning at the walking operating point
+    # (reference walking logs measured ~4.3e5,
+    # documentation/analysis_findings.md:122-129); cond2(YBase) =
+    # sqrt(cond2(G_base)) from the streamed base Gram
+    base_cond = None
+    Gb = getattr(idf.model, "G_base", None)
+    if Gb is not None:
+        ev = np.linalg.eigvalsh(np.asarray(Gb, dtype=float))
+        pos = ev[ev > 0]
+        if len(pos):
+            base_cond = float(np.sqrt(pos.max() / pos.min()))
     rows = N * (6 + nd)
     shutil.rmtree(tmpdir, ignore_errors=True)
     return {
+        "base_cond": None if base_cond is None else round(base_cond, 1),
         "wallclock_s": round(wall, 3),
         "wallclock_mean_s": round(float(np.mean(walls)), 3),
         "wallclock_max_s": round(float(np.max(walls)), 3),
