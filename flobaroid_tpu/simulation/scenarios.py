@@ -87,6 +87,8 @@ def walking_contact_scenario(
     torque_noise: float = 0.0,
     wrench_noise: float = 0.0,
     imu: bool = False,
+    n_harm: int = 3,
+    amp_scale: float = 1.0,
 ):
     """Build a walking-style contact identification scenario.
 
@@ -112,7 +114,14 @@ def walking_contact_scenario(
     hi = np.array([lims[j]["upper"] for j in jn])
     lo = np.where(np.isfinite(lo), lo, -np.pi)
     hi = np.where(np.isfinite(hi), hi, np.pi)
-    Q, V, A = _multi_harmonic(t, 0.5 * (lo + hi), 0.5 * (hi - lo), rng)
+    # n_harm / amp_scale shape the excitation quality: the defaults give
+    # a well-excited dataset (cond(YBase) ~ 5e2); n_harm=1 with a small
+    # amp_scale gives the repetitive, barely-excited regime of real
+    # walking logs (the reference measured cond ~4.3e5 there,
+    # documentation/analysis_findings.md:122-129)
+    Q, V, A = _multi_harmonic(
+        t, 0.5 * (lo + hi), amp_scale * 0.5 * (hi - lo), rng, n_harm=n_harm
+    )
 
     # base sway: small rpy oscillation with the world angular velocity/
     # acceleration DERIVED from the rpy series through the storage
