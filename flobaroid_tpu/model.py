@@ -1079,6 +1079,31 @@ class Model:
         sign, vsig = self._stream_inputs(samples, idx, Q, V, A, BR, BV, BA)
 
         chunk = int(opt.get("gramChunk", 4096))
+        # staging memo: the padded host copies + packed state + device
+        # stacks are a pure function of the input series and the chunk
+        # geometry. Re-identifying the same bytes (bench warm loop,
+        # block-selection score+estimate, essential-params passes, CAD
+        # sweeps) pays only a ~15 ms fingerprint instead of ~150 ms of
+        # host packing. Entries derived from the TORQUE series
+        # (taum/cfm stacks) are dropped on reuse — torques are not part
+        # of this key and the fused/residual paths rebuild them per pass.
+        import zlib
+
+        def _fp(a):
+            if a is None:
+                return None
+            b = np.ascontiguousarray(a)
+            return (b.shape, str(b.dtype), zlib.crc32(b))
+
+        fp = (N, rows, chunk, int(opt.get("shardSamples", 0) or 0),
+              str(dt), tuple(_fp(a) for a in (Q, V, A, BR, BV, BA, sign, vsig)))
+        memo = getattr(self, "_staged_memo", None)
+        if memo is not None and memo[0] == fp:
+            st = dict(memo[1])
+            st.pop("taum_stack", None)
+            st.pop("cfm_stack", None)
+            self._staged = st
+            return st
         # multi-chip SPMD (SURVEY §2.9): shard the sample axis of each
         # chunk over a device mesh — the jitted Gram contraction is
         # already a sample-axis reduction, so XLA partitions it and
@@ -1159,6 +1184,7 @@ class Model:
                   stackc=stackc, to_dev=to_dev, pad=pad, shards=shards,
                   sign=sign, vsig=vsig, vsig_same=vsig_same)
         self._staged = st
+        self._staged_memo = (fp, dict(st))
         return st
 
     def _ensure_ystack(self, staged):
