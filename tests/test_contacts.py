@@ -393,6 +393,22 @@ def test_ill_conditioned_walking_cad_rescue(tmp_path):
     assert nrms_sdp < 0.7 * nrms_ols, (nrms_sdp, nrms_ols)
 
 
+def test_staging_memo_reuses_device_buffers(setup):
+    """Re-identifying the SAME dataset must reuse the staged device
+    stacks (the staged-input memo): the packed state buffer object is
+    identical across passes, and a different dataset gets fresh ones."""
+    idf = _identify(setup, setup["noisy"])
+    m = idf.model
+    first = m._staged["stacks"]
+    idf.data.init_from_data(dict(setup["noisy"]))
+    idf.estimateParameters()
+    assert m._staged["stacks"] is first  # memo hit: same device buffer
+
+    idf.data.init_from_data(dict(setup["clean"]))
+    idf.estimateParameters()
+    assert m._staged["stacks"] is not first  # new bytes: fresh staging
+
+
 def test_staging_cache_invalidates_on_new_bytes(setup):
     """The content-memoized host->device staging (model._staged_put)
     must be transparent: re-identifying DIFFERENT data on the same
