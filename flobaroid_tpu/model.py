@@ -47,6 +47,15 @@ from .utils import helpers
 _PROFILE = bool(int(os.environ.get("FLOBAROID_PROFILE", "0")))
 
 
+def _stribeck_series(vsig, vs):
+    """Stribeck regressor term exp(-|v|/vs)*sign(v) on the sign-series
+    velocities (reference model.py:497-503). Single shared expression
+    for the regressor column AND the simulated friction torque so the
+    two paths can never disagree near zero crossings of the filtered
+    sign series."""
+    return np.exp(-np.abs(vsig) / vs) * np.sign(vsig)
+
+
 class Model:
     def __init__(
         self,
@@ -275,14 +284,17 @@ class Model:
         identify on bytes that are already device-resident (bench warm
         loop, block-selection re-identification, essential-params
         passes, CAD-mode sweeps on one Model). Fingerprint the exact
-        host bytes (crc32, ~1 GB/s) and skip the transfer on a hit —
-        compute still re-runs every pass; only identical input bytes
-        are never re-shipped. One cached entry per tag."""
-        import zlib
+        host bytes (blake2b-128 — a crc32 collision between same-shaped
+        datasets would silently reuse stale device buffers, so a
+        cryptographic digest is mandatory for a correctness-neutral
+        cache) and skip the transfer on a hit — compute still re-runs
+        every pass; only identical input bytes are never re-shipped.
+        One cached entry per tag."""
+        import hashlib
 
         a = np.ascontiguousarray(host_arr)
         fp = (a.shape, str(a.dtype), tuple(extra_key),
-              zlib.crc32(memoryview(a).cast("B")))
+              hashlib.blake2b(memoryview(a).cast("B"), digest_size=16).digest())
         cache = getattr(self, "_put_cache", None)
         if cache is None:
             cache = self._put_cache = {}
@@ -376,8 +388,7 @@ class Model:
             if opt.get("stribeckVelocity", 0) > 0:
                 vs = float(opt["stribeckVelocity"])
                 vsig = helpers.get_friction_sign_velocities(samples, opt)[idx, :nd]
-                stri = np.exp(-np.abs(vsig) / vs) * np.sign(vsig)
-                cols.append(stri[:, None, :] * np.eye(nd)[None, :, :])
+                cols.append(_stribeck_series(vsig, vs)[:, None, :] * np.eye(nd)[None, :, :])
         F = np.concatenate(cols, axis=2)  # (N, nd, n_fric)
         if fb:
             F = np.concatenate([np.zeros((N, fb, F.shape[2])), F], axis=1)
@@ -408,7 +419,10 @@ class Model:
                 vs = float(opt["stribeckVelocity"])
                 vsig = helpers.get_friction_sign_velocities(samples, opt)[idx, :nd]
                 fs = x[self.num_all_params - nd : self.num_all_params]
-                tau = tau + fs * np.exp(-np.abs(vsig) / vs) * np.sign(sign)
+                # shared expression with the regressor column: simulated
+                # Stribeck torque must be exactly fs * (Stribeck column)
+                # or sim-vs-identify disagree near zero crossings
+                tau = tau + fs * _stribeck_series(vsig, vs)
         return tau
 
     def simulate_dynamics(self, samples: dict, idx: np.ndarray, x: np.ndarray | None = None):
@@ -556,28 +570,29 @@ class Model:
                 dtb = np.dtype(self._compute_dtype()).itemsize
                 y_fits = (staged["n_pad"] * rows * self.num_identified_params
                           * dtb) <= (2 << 30)
-                if not need_sim and y_fits:
+                if not need_sim and y_fits and fb:
                     # the fused walking hot path: regressor + contact
                     # J^T w + device tau assembly + Grams in ONE
                     # dispatch; Y/cf/tau chunks stay device-resident for
-                    # the rest of the pass (_walk_gram_fused docstring)
+                    # the rest of the pass (_walk_gram_fused docstring).
+                    # Floating-base only: its cf6 return and base-wrench
+                    # write-back are 6-row-wrench shaped; fixed-base
+                    # contact data takes _contact_torques_sum_staged
                     add_cf = fb and not getattr(data, "contacts_in_torques", False)
-                    G, g, gcf, Yst, cf_stack, tau_stack, aggs, cf6 = (
+                    G, g, gcf, Yst, cf_stack, tau_stack, fhost = (
                         self._walk_gram_fused(lis, staged, W, torq, add_cf)
                     )
                     staged["Ystack"] = Yst
                     staged["taum_stack"] = tau_stack
                     staged["cfm_stack"] = cf_stack
-                    self._walk_fused = (G, g, gcf, aggs)
+                    self._walk_fused = (G, g, gcf, fhost)
                     # only the 6 base-wrench columns cross to the host
-                    # (computed inside the fused dispatch — no separate
-                    # round-trip; the host torque write-back below needs
-                    # exactly them); the full (N, rows) series stays
+                    # (inside the fused dispatch's single packed fetch;
+                    # the host torque write-back below needs exactly
+                    # them); the full (N, rows) series stays
                     # device-resident and the contactForcesSum property
                     # materializes it lazily
-                    _t = self._p0()
-                    contacts_sum[:, :6] += np.asarray(cf6, dtype=float)[:N]
-                    self._pmark("contact_fetch", _t)
+                    contacts_sum[:, :6] += fhost["cf6"][:N]
                     fused_cf_lazy = (cf_stack, staged["n_pad"], N, rows)
                 else:
                     _t = self._p0()
@@ -950,16 +965,24 @@ class Model:
         per chunk, build the regressor, compute the summed contact
         J^T w (FK shared with the regressor build), assemble the
         estimation torques on device (base wrench rows += contact
-        contribution when the dataset carries net base wrenches), and
-        accumulate the per-channel Grams — while keeping the regressor
-        chunks, contact chunks and assembled-torque chunks device-
-        resident for the rest of the pass (WLS residual stats, reporting
-        contractions). Replaces three round-trips of the unfused path:
-        contact fetch -> host tau assembly -> tau/cf re-staging, which
-        profiling showed cost ~0.7 s of the 1.6 s warm humanoid30
-        identify through the runtime relay (design notes, round 4).
+        contribution when the dataset carries net base wrenches),
+        accumulate the per-channel Grams AND the a-priori residual
+        statistics (the reporting pass's urdf leg — its parameter vector
+        is known before the dispatch, so its stats ride this scan for
+        free) — while keeping the regressor chunks, contact chunks and
+        assembled-torque chunks device-resident for the rest of the pass
+        (WLS residual stats, reporting contractions).
 
-        Returns (G, g, gcf, Ystack, cf_stack, tau_stack) — all device."""
+        Every host-bound scalar/aggregate is CONCATENATED into one flat
+        device buffer fetched in a SINGLE relay round trip: the previous
+        seven separate np.asarray fetches (aggregates, OLS scalars, cf6)
+        each paid the ~35 ms relay RTT (round-4 dispatch-floor analysis,
+        docs/design_notes.md changelog #13).
+
+        Returns (G, g, gcf, Ystack, cf_stack, tau_stack, host) — the
+        first six device-resident, `host` a dict of fetched numpy arrays
+        {G_std, g_tau, g_cf, tau_sq_rows, tau_cf_rows, cf_sq_rows,
+        ap_rp, ap_pp, ap_bn, cf6}."""
         import jax.numpy as jnp
 
         eng = self.engine
@@ -968,7 +991,12 @@ class Model:
         build_Y, gram_from_Y, unpack = (
             fns["build_Y_raw"], fns["gram_from_Y_raw"], fns["unpack_raw"]
         )
-        key = ("walkScan", tuple(link_indices), floating, bool(add_cf_base))
+        # vsig_same is part of the key (like contactSumScan): unpack and
+        # build_Y bake in the packed-state layout and whether the Coulomb
+        # sign velocity aliases V — reusing one Model across datasets
+        # where that flips must recompile, not silently mis-unpack
+        key = ("walkScan", tuple(link_indices), floating, bool(add_cf_base),
+               bool(staged["vsig_same"]))
         if key not in self._regr_jit_cache:
 
             def cf_sample(q, br, w):
@@ -979,12 +1007,12 @@ class Model:
                     out = out + J.T @ w[f]
                 return out
 
-            def walk_scan(stacks, Ws, torqs, n_valid):
+            def walk_scan(stacks, Ws, torqs, n_valid, x_ap):
                 n_chunks, chunk = torqs.shape[0], torqs.shape[1]
                 rows = torqs.shape[-1]
 
                 def step(carry, xs):
-                    G, g, gcf, k = carry
+                    G, g, gcf, tsq, tcf, csq, rp, pp, bn, k = carry
                     st, w, torq = xs
                     args = unpack(st)
                     Y = build_Y(*args)
@@ -1003,7 +1031,26 @@ class Model:
                         valid.astype(tau.dtype)[:, None], tau.shape
                     )
                     Gc, gc, gcfc = gram_from_Y(Y, tau, cf, mask)
-                    return (G + Gc, g + gc, gcf + gcfc, k + 1), (Y, cf, tau)
+                    # per-channel OLS scalar aggregates under the SAME
+                    # valid mask as the Grams (padding scheme agnostic —
+                    # the unfused path sums over exactly N rows)
+                    tsq = tsq + jnp.sum(mask * tau * tau, axis=0)
+                    tcf = tcf + jnp.sum(mask * tau * cf, axis=0)
+                    csq = csq + jnp.sum(mask * cf * cf, axis=0)
+                    # a-priori residual stats (resid_scan semantics for
+                    # the one parameter vector known pre-solve): exact
+                    # per-sample subtraction, no Gram-identity
+                    # cancellation
+                    pred = (jnp.einsum(
+                        "nrp,p->nr", Y, x_ap,
+                        precision=jax.lax.Precision.HIGHEST) + cf)
+                    r = (tau - pred) * mask
+                    p = pred * mask
+                    rp = rp + jnp.sum(r * r, axis=0)
+                    pp = pp + jnp.sum(p * p, axis=0)
+                    bn = bn + jnp.sum(jnp.sqrt(jnp.sum(r * r, axis=1)))
+                    return (G + Gc, g + gc, gcf + gcfc, tsq, tcf, csq,
+                            rp, pp, bn, k + 1), (Y, cf, tau)
 
                 Y0 = build_Y(*unpack(stacks[0]))
                 P = Y0.shape[-1]
@@ -1012,9 +1059,16 @@ class Model:
                     jnp.zeros((rows, P, P), dt0),
                     jnp.zeros((rows, P), dt0),
                     jnp.zeros((rows, P), dt0),
+                    jnp.zeros((rows,), dt0),
+                    jnp.zeros((rows,), dt0),
+                    jnp.zeros((rows,), dt0),
+                    jnp.zeros((rows,), dt0),
+                    jnp.zeros((rows,), dt0),
+                    jnp.zeros((), dt0),
                     jnp.zeros((), jnp.int32),
                 )
-                (G, g, gcf, _), (Ystack, cf_stack, tau_stack) = jax.lax.scan(
+                ((G, g, gcf, tsq, tcf, csq, rp, pp, bn, _),
+                 (Ystack, cf_stack, tau_stack)) = jax.lax.scan(
                     step, init, (stacks, Ws, torqs)
                 )
                 # OLS std-space aggregates (w2 = 1) in the SAME dispatch
@@ -1026,18 +1080,17 @@ class Model:
                 Gs = jnp.sum(G, axis=0)
                 gt = jnp.sum(g, axis=0)
                 gc = jnp.sum(gcf, axis=0)
-                aggs = (
-                    Gs, gt, gc,
-                    jnp.sum(tau_stack**2, axis=(0, 1)),
-                    jnp.sum(tau_stack * cf_stack, axis=(0, 1)),
-                    jnp.sum(cf_stack**2, axis=(0, 1)),
-                )
                 # the 6 base-wrench columns of the contact series ride
-                # along: the host torque write-back needs exactly these,
-                # and returning them here saves a separate relay
-                # round-trip per pass (the full series stays lazy)
+                # along: the host torque write-back needs exactly these
+                # (the full series stays lazy)
                 cf6 = cf_stack[:, :, :6].reshape(-1, 6)
-                return G, g, gcf, Ystack, cf_stack, tau_stack, aggs, cf6
+                # ONE flat host-bound buffer = ONE relay fetch for
+                # everything the host consumes this pass
+                packed = jnp.concatenate([
+                    Gs.ravel(), gt, gc, tsq, tcf, csq, rp, pp,
+                    jnp.reshape(bn, (1,)), cf6.ravel(),
+                ])
+                return G, g, gcf, Ystack, cf_stack, tau_stack, packed
 
             self._regr_jit_cache[key] = jax.jit(walk_scan)
         fn = self._regr_jit_cache[key]
@@ -1050,9 +1103,38 @@ class Model:
         torqs = self._staged_put(
             "torq", staged["pad"](np.asarray(torq_raw, dtype=dt)),
             staged["stackc"], extra_key=sk)
-        out = fn(staged["stacks"], Ws, torqs, jnp.asarray(staged["N"], dt))
-        self._pmark("walk_gram_fused", _t, sync=out)
-        return out
+        x_ap = np.asarray(self.xStdModel[self.identified_params],
+                          dtype=float)
+        (G, g, gcf, Ystack, cf_stack, tau_stack, packed) = fn(
+            staged["stacks"], Ws, torqs, jnp.asarray(staged["N"], dt),
+            jnp.asarray(x_ap, dt),
+        )
+        flat = np.asarray(packed, dtype=float)  # the single relay fetch
+        P = self.num_identified_params
+        rows = self.num_dofs + self.fb
+        o = 0
+
+        def take(n, shape=None):
+            nonlocal o
+            a = flat[o:o + n]
+            o += n
+            return a if shape is None else a.reshape(shape)
+
+        host = dict(
+            G_std=take(P * P, (P, P)),
+            g_tau=take(P),
+            g_cf=take(P),
+            tau_sq_rows=take(rows),
+            tau_cf_rows=take(rows),
+            cf_sq_rows=take(rows),
+            ap_rp=take(rows),
+            ap_pp=take(rows),
+            ap_bn=float(take(1)[0]),
+            ap_x=x_ap,
+            cf6=take(flat.size - o, (-1, 6)),
+        )
+        self._pmark("walk_gram_fused", _t)
+        return G, g, gcf, Ystack, cf_stack, tau_stack, host
 
     def _stream_inputs(self, samples, idx, Q, V, A, BR, BV, BA):
         from .utils import helpers as H
@@ -1087,13 +1169,16 @@ class Model:
         # host packing. Entries derived from the TORQUE series
         # (taum/cfm stacks) are dropped on reuse — torques are not part
         # of this key and the fused/residual paths rebuild them per pass.
-        import zlib
+        # blake2b, not crc32: a 32-bit collision between two same-shaped
+        # datasets would silently identify against stale device buffers.
+        import hashlib
 
         def _fp(a):
             if a is None:
                 return None
             b = np.ascontiguousarray(a)
-            return (b.shape, str(b.dtype), zlib.crc32(b))
+            return (b.shape, str(b.dtype),
+                    hashlib.blake2b(b, digest_size=16).digest())
 
         fp = (N, rows, chunk, int(opt.get("shardSamples", 0) or 0),
               str(dt), tuple(_fp(a) for a in (Q, V, A, BR, BV, BA, sign, vsig)))
@@ -1275,20 +1360,28 @@ class Model:
         if getattr(self, "_walk_fused", None) is not None:
             # the fused walking-contact dispatch already accumulated the
             # per-channel Grams (and left Y/cf/tau chunks device-resident)
-            # AND the w2=1 OLS aggregates — populate the aggregate cache
-            # directly instead of re-dispatching _agg_jit
-            G, g, gcf, aggs = self._walk_fused
+            # AND the w2=1 OLS aggregates AND the a-priori residual stats
+            # — all fetched in its single packed round trip. Populate the
+            # aggregate + residual caches directly instead of
+            # re-dispatching _agg_jit / resid_scan
+            G, g, gcf, fhost = self._walk_fused
             self._walk_fused = None
             self.YStd = None
             self.YBase = None
             self.G_rows, self.g_rows, self.gcf_rows = G, g, gcf
-            (Gs, gt, gc, tsr, tcr, csr) = aggs
-            self.tau_sq_rows = np.asarray(tsr, dtype=float)
-            self.tau_cf_rows = np.asarray(tcr, dtype=float)
-            self.cf_sq_rows = np.asarray(csr, dtype=float)
-            self.G_std = np.asarray(Gs, dtype=float)
-            self.g_tau = np.asarray(gt, dtype=float)
-            self.g_cf = np.asarray(gc, dtype=float)
+            self.tau_sq_rows = fhost["tau_sq_rows"]
+            self.tau_cf_rows = fhost["tau_cf_rows"]
+            self.cf_sq_rows = fhost["cf_sq_rows"]
+            self.G_std = fhost["G_std"]
+            self.g_tau = fhost["g_tau"]
+            self.g_cf = fhost["g_cf"]
+            # seed the residual-stats cache: the reporting pass's urdf
+            # leg (estimateRegressorTorques("urdf")) is served without a
+            # further dispatch
+            self._resid_cache[fhost["ap_x"].tobytes()] = dict(
+                rp=fhost["ap_rp"], pp=fhost["ap_pp"],
+                tp=fhost["tau_sq_rows"], bn=fhost["ap_bn"],
+            )
             # base projection in host f64 (precision-critical for the
             # downstream Cholesky/SDP; see walk_scan comment)
             Pb = self.B if opt["useBasisProjection"] else self.Pb
@@ -1691,8 +1784,14 @@ class Model:
                     # (measured: rank 412 instead of 310 on humanoid30).
                     # Caches written before the dtype was recorded are
                     # assumed f32 (the conservative floor).
+                    # scoped to the STRUCTURAL QR only: overwriting the
+                    # session _gram_dtype here would apply the cached
+                    # file's eps to later DATA-Gram QRs accumulated in
+                    # the session dtype (f64 cache + f32 session =
+                    # spurious-rank failure all over again)
                     gdt = str(f["gdt"]) if "gdt" in f.files else "float32"
-                    self._gram_dtype = np.float64 if "64" in gdt else np.float32
+                    self._structural_gram_dtype = (
+                        np.float64 if "64" in gdt else np.float32)
                     return f["R"], f["Q"], f["RQ"], f["PQ"]
                 if path == regr_filename:
                     canonical_taken = True
@@ -1700,6 +1799,7 @@ class Model:
                 pass
 
         R = self._random_gram(n_samples)
+        self._structural_gram_dtype = self._gram_dtype
         Q, RQ, PQ = sla.qr(R, pivoting=True, mode="economic")
         try:
             np.savez(
@@ -1829,10 +1929,16 @@ class Model:
         if regressor is not None:
             Y = regressor
             self.Q, self.R, self.P = sla.qr(Y, pivoting=True, mode="economic")
+            qr_gdt = getattr(self, "_gram_dtype", np.float32)
         else:
             Y, self.Q, self.R, self.P = self.getRandomRegressor(
                 n_samples=opt["randomSamples"]
             )
+            # a structural cache may be stamped with a different dtype
+            # than the session accumulates in — the rank threshold must
+            # track the precision of the Gram AS DECOMPOSED HERE
+            qr_gdt = getattr(self, "_structural_gram_dtype",
+                             getattr(self, "_gram_dtype", np.float32))
 
         # Rank threshold: the reference uses the absolute minTol (1e-4 by
         # default), valid for its f64 Gram whose noise floor is ~1e-10 x
@@ -1843,7 +1949,7 @@ class Model:
         # instead of 43 on the 7-DOF example, 6% base-param error).
         minTol = float(opt["minTol"])
         diag = np.abs(np.diag(self.R))
-        eps = np.finfo(getattr(self, "_gram_dtype", np.float32)).eps
+        eps = np.finfo(qr_gdt).eps
         tol = max(minTol, 100.0 * eps * float(diag.max(initial=0.0)))
         r = int(np.sum(diag > tol))
         self.num_base_params = r

@@ -396,8 +396,12 @@ def test_ill_conditioned_walking_cad_rescue(tmp_path):
 def test_staging_memo_reuses_device_buffers(setup):
     """Re-identifying the SAME dataset must reuse the staged device
     stacks (the staged-input memo): the packed state buffer object is
-    identical across passes, and a different dataset gets fresh ones."""
-    idf = _identify(setup, setup["noisy"])
+    identical across passes, and a different dataset gets fresh ones.
+
+    The memo is a streaming-path feature (model._stage_streaming only
+    runs when materializeRegressor=0); the materialized path never
+    stages, so the option must be set explicitly here."""
+    idf = _identify(setup, setup["noisy"], materializeRegressor=0)
     m = idf.model
     first = m._staged["stacks"]
     idf.data.init_from_data(dict(setup["noisy"]))
