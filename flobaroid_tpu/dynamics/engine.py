@@ -86,6 +86,10 @@ class DynamicsEngine:
         axis = np.zeros((L, 3))
         jtype = np.zeros(L, dtype=int)  # 0 fixed/root, 1 revolute, 2 prismatic
         dof_of_link = np.full(L, -1, dtype=int)
+        # per-link generalized-coordinate map q_link = scale*q[dof]+offset
+        # (identity except for mimic joints)
+        q_scale = np.ones(L)
+        q_offset = np.zeros(L)
         for i in range(L):
             ji = tree.parent_joint[i]
             if ji < 0:
@@ -103,18 +107,51 @@ class DynamicsEngine:
         for dj, ji in enumerate(tree.dof_joint_ids):
             dof_of_link[tree.link_index[tree.joints[ji].child]] = dj
 
+        # mjoints: every MOVABLE joint = the n DOF joints (in dof order)
+        # followed by mimic joints (q_m = mult*q[src_dof] + offset; URDF
+        # <mimic>, reference semantics via iDynTree ModelLoader). For a
+        # mimic-free model these arrays are the identity map over dofs
+        # and every formula below reduces to the pre-mimic code exactly.
+        mimic = list(getattr(tree, "mimic_map", []))
+        mj_link = list(np.asarray(tree.dof_link))
+        mj_dof = list(range(n))
+        mj_scale = [1.0] * n
+        for (ji, src_dof, mult, off) in mimic:
+            ci = tree.link_index[tree.joints[ji].child]
+            mj_link.append(ci)
+            mj_dof.append(src_dof)
+            mj_scale.append(mult)
+            dof_of_link[ci] = src_dof
+            q_scale[ci] = mult
+            q_offset[ci] = off
+        self.has_mimic = bool(mimic)
+        self.mjoint_link = np.asarray(mj_link, dtype=int)  # (m,)
+        self.mjoint_dof = np.asarray(mj_dof, dtype=int)  # (m,)
+        self.mjoint_scale = np.asarray(mj_scale, dtype=float)  # (m,)
+        m = len(mj_link)
+        # dof projection P[d, mj] = scale: velocities of mjoints from
+        # dqs (dq_m = P.T row gather) and generalized torques back onto
+        # dofs (tau = P @ tau_m)
+        P = np.zeros((n, m))
+        P[self.mjoint_dof, np.arange(m)] = self.mjoint_scale
+        self.dof_project = P
+
         self.R0, self.p0, self.axis = R0, p0, axis
         self.jtype, self.dof_of_link = jtype, dof_of_link
+        self.q_scale_of_link, self.q_offset_of_link = q_scale, q_offset
         self.topo = tree.topo_order()
         self.parent = np.asarray(tree.parent_link)
         self.dof_link = np.asarray(tree.dof_link)  # child link of each dof
 
-        # mask[i, j] = 1 iff dof j lies on the path root -> link i
-        mask = np.zeros((L, n))
+        # mask[i, j] = 1 iff mjoint j lies on the path root -> link i
+        # ((L, n) for mimic-free models — the historical ancestor_mask)
+        mj_of_link = np.full(L, -1, dtype=int)
+        mj_of_link[self.mjoint_link] = np.arange(m)
+        mask = np.zeros((L, m))
         for i in range(L):
             chain = tree.ancestors(i) + [i]
             for li in chain:
-                dj = dof_of_link[li]
+                dj = mj_of_link[li]
                 if dj >= 0:
                     mask[i, dj] = 1.0
         self.ancestor_mask = mask
@@ -165,7 +202,12 @@ class DynamicsEngine:
             jt = self.jtype[idx]
             dj = np.maximum(self.dof_of_link[idx], 0)
             has_dof = (self.dof_of_link[idx] >= 0).astype(float)
-            qj = q[jnp.asarray(dj)] * jnp.asarray(has_dof, dtype=dtype)
+            # q_link = scale*q[dof] + offset (identity unless mimic)
+            qj = (
+                q[jnp.asarray(dj)] * jnp.asarray(
+                    self.q_scale_of_link[idx], dtype=dtype)
+                + jnp.asarray(self.q_offset_of_link[idx], dtype=dtype)
+            ) * jnp.asarray(has_dof, dtype=dtype)
             is_rev = jnp.asarray((jt == 1).astype(float), dtype=dtype)[:, None, None]
             is_pri = jnp.asarray((jt == 2).astype(float), dtype=dtype)[:, None]
             Rrot = sp.axis_angle_rot(ax, qj)  # (k,3,3)
@@ -193,12 +235,21 @@ class DynamicsEngine:
         Rw = base_rot @ Rb  # (L,3,3) broadcasted matmul
         pw = (base_rot @ pb[..., None])[..., 0]
 
-        dl = self.dof_link
+        dl = self.mjoint_link
         ax_w = jnp.einsum("dij,dj->di", Rw[dl], jnp.asarray(self.axis[dl], dtype=dtype))
         is_rev = jnp.asarray(self.jtype[dl] == 1, dtype=dtype)[:, None]
         s_ang = is_rev * ax_w
         s_lin = is_rev * jnp.cross(pw[dl], ax_w) + (1.0 - is_rev) * ax_w
-        s = jnp.concatenate([s_ang, s_lin], axis=-1)  # (n,6)
+        s = jnp.concatenate([s_ang, s_lin], axis=-1)  # (m,6)
+
+        # per-mjoint coordinate rates (identity gather for mimic-free
+        # models; mimic joints move at scale * their source dof's rate)
+        if self.has_mimic:
+            scl = jnp.asarray(self.mjoint_scale, dtype=dtype)
+            dqm = dq[jnp.asarray(self.mjoint_dof)] * scl
+            ddqm = ddq[jnp.asarray(self.mjoint_dof)] * scl
+        else:
+            dqm, ddqm = dq, ddq
 
         # base spatial velocity/acceleration about the world origin
         vlin, w = base_vel[:3], base_vel[3:]
@@ -208,10 +259,10 @@ class DynamicsEngine:
         # classical mixed -> spatial: a_O = p_dd - w x p_d; gravity trick
         a0 = jnp.concatenate([wdot, alin - jnp.cross(w, vlin) - g])
 
-        mask = jnp.asarray(self.ancestor_mask, dtype=dtype)  # (L,n)
-        V = v0 + mask @ (s * dq[:, None])  # (L,6)
+        mask = jnp.asarray(self.ancestor_mask, dtype=dtype)  # (L,m)
+        V = v0 + mask @ (s * dqm[:, None])  # (L,6)
         # d/dt s_j = v_{child(j)} x s_j (the axis is fixed in the child link)
-        u = s * ddq[:, None] + sp.crm(V[dl], s) * dq[:, None]
+        u = s * ddqm[:, None] + sp.crm(V[dl], s) * dqm[:, None]
         A = a0 + mask @ u  # (L,6)
         return Rw, pw, s, V, A, mask
 
@@ -274,6 +325,14 @@ class DynamicsEngine:
         wrench serialization is force-then-torque), then joint torques.
         """
         Yj = jnp.einsum("jd,ldc,lj->jlc", s, Fw, mask)
+        if self.has_mimic:
+            # generalized force on dof d sums every mjoint it drives,
+            # weighted by the mimic multiplier: tau = P @ tau_mjoint
+            # (principle of virtual work for q_m = mult*q_d + off)
+            Yj = jnp.einsum(
+                "nm,mlc->nlc",
+                jnp.asarray(self.dof_project, dtype=Yj.dtype), Yj,
+            )
         if not floating:
             return Yj
         # base wrench rows: swap [moment; force] -> [force; moment]
@@ -491,13 +550,17 @@ class DynamicsEngine:
         Rw = base_rot @ Rb
         pw = (base_rot @ pb[..., None])[..., 0]
         pf = pw[link_index]
-        dl = self.dof_link
+        dl = self.mjoint_link
         ax_w = jnp.einsum("dij,dj->di", Rw[dl], jnp.asarray(self.axis[dl], dtype=dtype))
         is_rev = jnp.asarray(self.jtype[dl] == 1, dtype=dtype)[:, None]
         mask = jnp.asarray(self.ancestor_mask[link_index], dtype=dtype)[:, None]
         lin = mask * (is_rev * jnp.cross(ax_w, pf - pw[dl]) + (1.0 - is_rev) * ax_w)
         ang = mask * (is_rev * ax_w)
-        Jq = jnp.concatenate([lin.T, ang.T], axis=0)  # (6,n)
+        Jq = jnp.concatenate([lin.T, ang.T], axis=0)  # (6,m)
+        if self.has_mimic:
+            # chain rule through q_m = mult*q[src]: columns of mimic
+            # joints fold into their source dof's column
+            Jq = Jq @ jnp.asarray(self.dof_project, dtype=dtype).T
         eye = jnp.eye(3, dtype=dtype)
         zero = jnp.zeros((3, 3), dtype=dtype)
         Jb = jnp.concatenate(

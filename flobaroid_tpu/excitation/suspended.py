@@ -66,6 +66,12 @@ class SuspendedSimulator:
         max_swing_deg: float = 25.0,
     ):
         self.engine = DynamicsEngine(tree)
+        if self.engine.has_mimic:
+            # this integrator indexes motion subspaces per DOF; folding
+            # mimic columns here is untested — fail loudly, never wrong
+            raise NotImplementedError(
+                "suspended-base simulation does not support mimic joints"
+            )
         if attachment_frame not in tree.link_index:
             raise ValueError(f"attachment frame '{attachment_frame}' not in model links")
         self.att = tree.link_index[attachment_frame]

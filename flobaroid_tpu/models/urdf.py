@@ -108,7 +108,7 @@ class Link:
 @dataclass
 class Joint:
     name: str
-    jtype: str  # 'revolute' | 'continuous' | 'prismatic' | 'fixed' | 'floating'
+    jtype: str  # 'revolute' | 'continuous' | 'prismatic' | 'fixed'
     parent: str
     child: str
     origin_xyz: np.ndarray
@@ -121,6 +121,13 @@ class Joint:
     damping: float = 0.0
     friction: float = 0.0  # Coulomb, from <dynamics friction=...>
     has_damping: bool = False  # explicit <dynamics damping> vs absent
+    # <mimic joint=... multiplier=... offset=...>: this joint's
+    # coordinate is q = multiplier * q_source + offset and it carries
+    # no independent DOF (URDF spec; the reference inherits support via
+    # iDynTree ModelLoader, reference identification/model.py:60-67)
+    mimic_joint: str | None = None
+    mimic_multiplier: float = 1.0
+    mimic_offset: float = 0.0
 
 
 @dataclass
@@ -148,6 +155,9 @@ class RobotTree:
     dof_joint_ids: list[int] = field(default_factory=list)  # joint id per dof
     dof_names: list[str] = field(default_factory=list)
     dof_link: np.ndarray | None = None  # (n,) child link id of each dof joint
+    # mimic joints: (joint_id, source_dof_index, multiplier, offset) —
+    # movable joints whose coordinate is a linear map of another DOF
+    mimic_map: list[tuple[int, int, float, float]] = field(default_factory=list)
 
     def _finalize(self, joint_order: list[str] | None = None) -> None:
         self.link_index = {l.name: i for i, l in enumerate(self.links)}
@@ -165,7 +175,29 @@ class RobotTree:
             raise ValueError(f"URDF must have exactly one root link, found {roots}")
         self.root = roots[0]
 
-        movable = [(ji, j) for ji, j in enumerate(self.joints) if j.jtype in MOVABLE_TYPES]
+        # FAIL LOUDLY on joint types the engine cannot represent: the
+        # reference inherits full URDF semantics from iDynTree ModelLoader
+        # (reference identification/model.py:60-67); silently treating a
+        # planar/floating/unknown joint as fixed drops DOFs and produces
+        # wrong identifications with no error. A URDF `floating` joint is
+        # deliberately unsupported: floating-base dynamics are selected
+        # via the `floatingBase` config key, matching the reference.
+        known = set(MOVABLE_TYPES) | {"fixed"}
+        for j in self.joints:
+            if j.jtype not in known:
+                hint = (
+                    " (floating-base dynamics are configured with "
+                    "floatingBase: 1, not with a URDF floating joint)"
+                    if j.jtype == "floating" else ""
+                )
+                raise ValueError(
+                    f"unsupported joint type '{j.jtype}' on joint "
+                    f"'{j.name}': supported types are "
+                    f"{sorted(known)} plus mimic joints{hint}"
+                )
+
+        movable = [(ji, j) for ji, j in enumerate(self.joints)
+                   if j.jtype in MOVABLE_TYPES and j.mimic_joint is None]
         if joint_order is not None:
             by_name = {j.name: ji for ji, j in movable}
             missing = [n for n in joint_order if n not in by_name]
@@ -178,6 +210,26 @@ class RobotTree:
         self.dof_link = np.array(
             [self.link_index[self.joints[ji].child] for ji in self.dof_joint_ids], dtype=int
         )
+
+        # mimic joints: movable, but their coordinate is a linear map of
+        # another DOF (no independent column in q)
+        self.mimic_map = []
+        dof_of_name = {self.joints[ji].name: d
+                       for d, ji in enumerate(self.dof_joint_ids)}
+        for ji, j in enumerate(self.joints):
+            if j.mimic_joint is None or j.jtype not in MOVABLE_TYPES:
+                continue
+            src = dof_of_name.get(j.mimic_joint)
+            if src is None:
+                raise ValueError(
+                    f"mimic joint '{j.name}' references '{j.mimic_joint}', "
+                    "which is not an independent movable joint (missing, "
+                    "fixed, or itself a mimic joint — chained mimics are "
+                    "not supported)"
+                )
+            self.mimic_map.append(
+                (ji, src, float(j.mimic_multiplier), float(j.mimic_offset))
+            )
 
     # ------------------------------------------------------------------
     @property
@@ -372,6 +424,11 @@ def load_urdf(
                 joint.damping = float(dyn.get("damping", 0))
                 joint.has_damping = "damping" in dyn.attrib
                 joint.friction = float(dyn.get("friction", 0))
+            mim = el.find("mimic")
+            if mim is not None:
+                joint.mimic_joint = mim.get("joint")
+                joint.mimic_multiplier = float(mim.get("multiplier", 1.0))
+                joint.mimic_offset = float(mim.get("offset", 0.0))
             joints.append(joint)
         elif el.tag == "transmission":
             jname = None

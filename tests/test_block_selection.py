@@ -70,6 +70,7 @@ def _opt(**kw):
     return o
 
 
+@pytest.mark.timeout(120)
 def test_selection_prefers_excited_blocks(tmp_path):
     samples, good_ids = mixed_blocks_samples()
     f = tmp_path / "m.npz"
@@ -123,6 +124,7 @@ def test_variance_dedup_drops_near_duplicates():
     assert not {0, 1}.issubset(set(d.selected_blocks))
 
 
+@pytest.mark.timeout(90)
 def test_cli_block_selection(tmp_path):
     samples, good_ids = mixed_blocks_samples()
     f = tmp_path / "m.npz"

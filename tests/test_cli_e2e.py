@@ -16,6 +16,8 @@ REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 ARM_URDF = os.path.join(REPO, "examples", "models", "sevenlink_arm.urdf")
 
 
+@pytest.mark.slow
+@pytest.mark.timeout(420)
 def test_full_cli_pipeline(tmp_path):
     cfg = dict(
         excitationFrequency=50.0,

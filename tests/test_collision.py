@@ -111,6 +111,8 @@ def test_collision_model_pairs_and_world():
     assert min(fl2) < min(fl)  # closer to the floor when bent down
 
 
+@pytest.mark.slow
+@pytest.mark.timeout(120)
 def test_collision_constraint_in_objective():
     """Collision clearances feed the trajectory objective as constraints."""
     from flobaroid_tpu.excitation.objective import TrajectoryObjective
@@ -157,6 +159,8 @@ def test_collision_constraint_in_objective():
         assert np.all(np.isfinite(grad))
 
 
+@pytest.mark.slow
+@pytest.mark.timeout(180)
 def test_transition_collision_constraints():
     """Reference parity (trajectoryOptimizer.py:361-437): the min-jerk
     ramp configurations and representative swung base poses are included
@@ -205,6 +209,7 @@ def test_transition_collision_constraints():
     assert np.all(np.isfinite(np.asarray(grad)))
 
 
+@pytest.mark.timeout(90)
 def test_zero_pose_overlaps_auto_ignored():
     """Reference parity (optimizer.py:544-563): capsule pairs overlapping
     at the zero pose are artifacts and must be dropped from the

@@ -86,6 +86,7 @@ def _rel(idf, xb_true):
     )
 
 
+@pytest.mark.timeout(120)
 def test_contact_identification_noise_free_exact(setup):
     """With exact measurements the estimator must invert the generative
     construction: Y x = tau_stack - J^T w recovers pi_true to numerical
@@ -156,6 +157,7 @@ def test_skipsamples_leaves_measurements_pristine(setup):
     assert data.samples["torques"].shape[0] == data.num_used_samples
 
 
+@pytest.mark.timeout(120)
 def test_streaming_contacts_parity(setup):
     """materializeRegressor=0 (device-resident streamed Grams) must give
     the same base estimate as the materialized path with contacts."""
@@ -169,6 +171,7 @@ def test_streaming_contacts_parity(setup):
     assert _rel(idf_str, setup["xb_true"]) < 0.02
 
 
+@pytest.mark.timeout(90)
 def test_fused_contact_sum_matches_per_frame(setup):
     """_contact_torques_sum_staged (all frames, one dispatch from the
     staged device chunks) must equal the per-frame chunked path sum."""
@@ -196,6 +199,8 @@ def test_fused_contact_sum_matches_per_frame(setup):
     np.testing.assert_allclose(fused, per_frame, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
+@pytest.mark.timeout(120)
 def test_base_wrench_two_step_with_weighting(setup, tmp_path):
     """Ayusawa base-wrench two-step over multiple measurement files with
     per-file inverse-noise weighting (reference identifier.py:617-681):
@@ -319,6 +324,8 @@ def test_walking_imu_preprocessing_loop(setup):
     assert np.sqrt(np.mean((lv - lt) ** 2)) < 0.02
 
 
+@pytest.mark.slow
+@pytest.mark.timeout(420)
 def test_ill_conditioned_walking_cad_rescue(tmp_path):
     """The reference's core walking-log finding, reproduced end-to-end
     (documentation/analysis_findings.md:122-129): real walking data is
@@ -393,6 +400,7 @@ def test_ill_conditioned_walking_cad_rescue(tmp_path):
     assert nrms_sdp < 0.7 * nrms_ols, (nrms_sdp, nrms_ols)
 
 
+@pytest.mark.timeout(120)
 def test_staging_memo_reuses_device_buffers(setup):
     """Re-identifying the SAME dataset must reuse the staged device
     stacks (the staged-input memo): the packed state buffer object is
@@ -413,6 +421,8 @@ def test_staging_memo_reuses_device_buffers(setup):
     assert m._staged["stacks"] is not first  # new bytes: fresh staging
 
 
+@pytest.mark.slow
+@pytest.mark.timeout(150)
 def test_staging_cache_invalidates_on_new_bytes(setup):
     """The content-memoized host->device staging (model._staged_put)
     must be transparent: re-identifying DIFFERENT data on the same

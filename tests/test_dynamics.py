@@ -182,6 +182,7 @@ def test_sensor_wrench_regressor(rr):
                                rtol=1e-10, atol=1e-10)
 
 
+@pytest.mark.timeout(120)
 def test_rnea_matches_lagrangian_fixed(rr):
     _, eng, pi = rr
     for seed in range(4):
@@ -264,6 +265,7 @@ def test_batched_regressor(rr):
     np.testing.assert_allclose(Y[0], Y0, rtol=1e-12, atol=1e-12)
 
 
+@pytest.mark.timeout(90)
 def test_reference_urdfs_load(threelinks_urdf, kuka_urdf):
     t3 = load_urdf(threelinks_urdf)
     assert t3.num_dofs == 2  # joint_1_2, joint_2_3 (base joint is fixed)

@@ -4,6 +4,7 @@ must be exercised by CI, not only by bench.py once per round
 x64 on for the rest of the suite."""
 
 import os
+import pytest
 import subprocess
 import sys
 import textwrap
@@ -67,6 +68,7 @@ SCRIPT = textwrap.dedent("""
 """ % REPO)
 
 
+@pytest.mark.timeout(90)
 def test_f32_production_path():
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"

@@ -97,6 +97,7 @@ def base_opt(**kw):
     return opt
 
 
+@pytest.mark.timeout(90)
 def test_ols_identification_kuka(kuka_tmp):
     """OLS on synthetic KUKA data: <5% base-param error, <1% residual
     (acceptance thresholds from reference tests/test_identification.py:163-164)."""
@@ -118,6 +119,7 @@ def test_ols_identification_kuka(kuka_tmp):
     assert np.linalg.norm(tauM - tauEst) / np.linalg.norm(tauM) < 0.01
 
 
+@pytest.mark.timeout(90)
 def test_ols_identification_floating(threelinks_urdf, tmp_path):
     p = tmp_path / "threeLinks.urdf"
     shutil.copy(threelinks_urdf, p)
@@ -250,6 +252,7 @@ def test_trajectory_weighting(threelinks_urdf, tmp_path):
     assert err_weighted <= err_plain * 1.05, (err_weighted, err_plain)
 
 
+@pytest.mark.timeout(90)
 def test_validation_path(kuka_tmp, tmp_path):
     samples, _ = synth_samples(kuka_tmp, n=1200, noise=0.05, seed=61)
     val, _ = synth_samples(kuka_tmp, n=600, noise=0.05, seed=62)
@@ -302,6 +305,7 @@ def test_streaming_gram_matches_materialized(kuka_tmp):
     assert abs(idf_s.res_error - idf_m.res_error) < 0.05
 
 
+@pytest.mark.timeout(120)
 def test_streaming_y_cache_matches_rebuild(kuka_tmp):
     """cacheRegressorDevice=1 keeps the built regressor chunks on device
     and serves reporting/WLS contractions from them; results must match

@@ -74,6 +74,8 @@ class FakeMeshVerifier:
         return True, []
 
 
+@pytest.mark.slow
+@pytest.mark.timeout(1200)
 def test_mesh_backoff_recovers_with_small_dopt_loss(monkeypatch):
     from flobaroid_tpu import collision_mesh
     from flobaroid_tpu.excitation.optimizer import optimize_trajectory

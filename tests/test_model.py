@@ -102,6 +102,7 @@ def test_base_equations_and_names():
     assert len(m.param_names) == m.num_identified_params
 
 
+@pytest.mark.timeout(90)
 def test_gravity_only_mode(tmp_path):
     import shutil
 
@@ -234,6 +235,7 @@ print("rank-ok")
     assert "rank-ok" in r.stdout
 
 
+@pytest.mark.timeout(120)
 def test_sensor_placement_study():
     """Structural rank gain from added F/T sensors (reference
     documentation/design_notes.md:104-110: each added 6-axis F/T

@@ -64,12 +64,16 @@ def test_graft_entry_single_chip():
     assert np.all(np.isfinite(np.asarray(tau)))
 
 
+@pytest.mark.slow
+@pytest.mark.timeout(360)
 def test_graft_dryrun_multichip():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
 
 
+@pytest.mark.slow
+@pytest.mark.timeout(120)
 def test_streaming_gram_sharded_matches_unsharded():
     """shardSamples>1: the streaming identification shards each Gram
     chunk's sample axis over the device mesh; results must match the
@@ -100,6 +104,7 @@ def test_streaming_gram_sharded_matches_unsharded():
     np.testing.assert_allclose(res[8][1], res[0][1], rtol=1e-8)
 
 
+@pytest.mark.timeout(120)
 def test_walking_contact_sharded_matches_unsharded():
     """The HARDEST multi-chip path (VERDICT r3 #4): floating base +
     foot-contact wrenches through the fused streamed pipeline
@@ -170,6 +175,7 @@ def test_walking_contact_sharded_matches_unsharded():
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+@pytest.mark.timeout(120)
 def test_sharded_candidate_batch_matches_unsharded():
     """shardCandidates>1: the global-search candidate batch shards its
     leading axis over the device mesh (the TPU-native form of the

@@ -84,6 +84,8 @@ def test_local_refine_interrupt_returns_start(arm_obj):
     assert np.all(np.isfinite(x))
 
 
+@pytest.mark.slow
+@pytest.mark.timeout(120)
 def test_augmented_lagrangian_feasible_without_repair(arm_obj, monkeypatch):
     """From an infeasible start (oversized coefficients -> velocity/
     torque violations), the AL stage must end feasible WITHOUT the
@@ -113,6 +115,8 @@ def test_global_restarts_track_best(arm_obj):
     assert np.isfinite(f) and np.all(np.isfinite(x))
 
 
+@pytest.mark.slow
+@pytest.mark.timeout(120)
 def test_checkpoint_resume_matches_uninterrupted(arm_obj, tmp_path):
     """Mid-optimization resume (beyond the reference): a run killed
     after N generations and resumed from its checkpoint must reproduce

@@ -16,6 +16,7 @@ measures actual recovery error under noise on the same trajectories.
 
 import os
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -127,6 +128,8 @@ def _weak_and_targets():
     return base, se0, widx, targeted
 
 
+@pytest.mark.slow
+@pytest.mark.timeout(900)
 def test_per_joint_targets_improve_friction_identifiability():
     base, se0, widx, targeted = _weak_and_targets()
     tgt = _opt_run(targeted)
@@ -176,6 +179,7 @@ def test_per_joint_targets_improve_measured_fv_recovery():
     assert np.mean(ratios) < 0.8, f"mean measured improvement too small: {ratios}"
 
 
+@pytest.mark.timeout(120)
 def test_per_joint_torque_util_dict_penalizes_shortfall():
     """trajectoryTargetTorqueUtil as a dict applies per joint: a
     candidate whose targeted joint under-uses its torque scores worse

@@ -49,6 +49,7 @@ def multisine_trajectory(tree, n=3000, freq=200.0, seed=5):
     }
 
 
+@pytest.mark.timeout(90)
 def test_simulate_then_identify(tmp_path):
     """Simulated effects+noise, preprocess, identify; residual must be
     small and masses roughly recovered despite the unmodeled effects."""

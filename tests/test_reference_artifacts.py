@@ -237,6 +237,8 @@ def test_identified_urdf_physically_consistent():
     assert abs(np.sum(x[0::10]) - np.sum(x_ap[0::10])) / np.sum(x_ap[0::10]) < 0.5
 
 
+@pytest.mark.slow
+@pytest.mark.timeout(120)
 def test_identify_recovers_reference_identified_model(golden, tmp_path):
     """Full-pipeline parity run standing in for the LFS-stubbed KUKA
     hardware data: simulate torque measurements with the reference's

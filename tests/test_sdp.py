@@ -151,6 +151,7 @@ def test_sdp_closest_to_cad(arm):
     assert idf2.res_error < 5.0
 
 
+@pytest.mark.timeout(90)
 def test_sdp_geometric_mode_differs(arm):
     urdf, samples = arm
     idf_u = run_sdp(urdf, samples, cadRegularizationMode="uniform")
@@ -165,6 +166,7 @@ def test_sdp_geometric_mode_differs(arm):
     assert np.linalg.norm(xu - xg) > 1e-6
 
 
+@pytest.mark.timeout(90)
 def test_sdp_geometric_observability_weighting(arm):
     """geometricObservabilityWeighting (reference sdp.py:379,413): the
     geo+obs prior must produce a finite, consistent, optimal result
@@ -221,6 +223,7 @@ def test_sdp_certificate_small(arm):
     assert info["max_violation"] <= 0.0
 
 
+@pytest.mark.timeout(90)
 def test_sdp_30dof_kkt_certificate(tmp_path):
     """KKT-level certification at the hardest operating point: the
     streamed 30-DOF humanoid SDP (observability CAD regularization)

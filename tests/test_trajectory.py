@@ -104,6 +104,8 @@ def arm_model(tmp_path_factory):
     return model, opt, urdf
 
 
+@pytest.mark.slow
+@pytest.mark.timeout(120)
 def test_objective_gradient_flows(arm_model):
     model, opt, _ = arm_model
     nf = tuple([3] * model.num_dofs)
@@ -130,6 +132,8 @@ def test_objective_gradient_flows(arm_model):
         np.testing.assert_allclose(grad[k], float(fd), rtol=8e-3, atol=1e-3)
 
 
+@pytest.mark.slow
+@pytest.mark.timeout(300)
 def test_optimize_trajectory_improves(arm_model):
     model, opt, _ = arm_model
     x, spec, obj, info = optimize_trajectory(model, dict(opt))
@@ -153,6 +157,7 @@ def test_optimize_trajectory_improves(arm_model):
     assert np.all(np.abs(np.asarray(V)) <= vl * 1.02)
 
 
+@pytest.mark.timeout(120)
 def test_objective_matches_model_layout_with_stribeck(arm_model):
     """The objective's friction-column layout must track the model's
     identified-column count (Pb rows): stribeckVelocity adds an Fs
@@ -184,6 +189,8 @@ def test_objective_matches_model_layout_with_stribeck(arm_model):
     assert np.isfinite(f) and np.all(np.isfinite(g))
 
 
+@pytest.mark.slow
+@pytest.mark.timeout(240)
 def test_optimize_trajectory_classic_mode(arm_model):
     """trajectoryBounded: 0 (the reference's default, pulsed classic
     series): the optimizer runs with an unbounded FourierSpec and the
@@ -210,6 +217,8 @@ def test_optimize_trajectory_classic_mode(arm_model):
         assert np.all(np.asarray(Q) <= hi + 1e-3)
 
 
+@pytest.mark.slow
+@pytest.mark.timeout(300)
 def test_trajectory_cli_then_simulator(tmp_path):
     """trajectory.py -> simulator.py CLI chain produces contract files."""
     cfg = dict(
@@ -259,6 +268,7 @@ def test_trajectory_cli_then_simulator(tmp_path):
         assert "torques" in f.files
 
 
+@pytest.mark.timeout(90)
 def test_posture_optimizer(arm_model):
     model, opt, _ = arm_model
     from flobaroid_tpu.excitation.posture import optimize_postures
@@ -306,6 +316,8 @@ SUSPENDED_URDF = """
 """
 
 
+@pytest.mark.slow
+@pytest.mark.timeout(420)
 def test_suspended_objective(tmp_path):
     """D-optimality objective with the suspended-base scan in the loop
     (walkman_full scenario): finite values, flowing gradients, feasible
@@ -342,6 +354,7 @@ def test_suspended_objective(tmp_path):
     assert info["feasible"], info
 
 
+@pytest.mark.timeout(120)
 def test_posture_optimizer_parity_objective(tmp_path):
     """Reference parity (postureOptimizer.py:93-180): with --model_real
     the objective is ||xBaseReal - xBase||^2 with the (gravity-only)
