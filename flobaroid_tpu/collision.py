@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .models.geometry import link_bounding_box, load_stl_vertices, resolve_mesh_path
+from .models.geometry import link_bounding_box, load_mesh_vertices, resolve_mesh_path
 from .models.urdf import RobotTree, rpy_to_matrix
 
 
@@ -76,7 +76,7 @@ def fit_capsule(
             if path is None:
                 continue
             try:
-                v = load_stl_vertices(path)
+                v = load_mesh_vertices(path)
             except (ValueError, OSError):
                 continue
             if g.scale is not None:

@@ -32,8 +32,8 @@ import jax
 import jax.numpy as jnp
 
 from .models.geometry import (
-    load_stl_triangles,
-    load_stl_vertices,
+    load_mesh_triangles,
+    load_mesh_vertices,
     resolve_mesh_path,
 )
 from .models.urdf import RobotTree
@@ -119,7 +119,7 @@ def link_vertices(
             if path is None:
                 continue
             try:
-                v = load_stl_vertices(path)
+                v = load_mesh_vertices(path)
             except (ValueError, OSError):
                 continue
             if g.scale is not None:
@@ -178,7 +178,7 @@ def link_triangles(
             if path is None:
                 continue
             try:
-                v, t = load_stl_triangles(path)
+                v, t = load_mesh_triangles(path)
             except (ValueError, OSError):
                 continue
             if g.scale is not None:

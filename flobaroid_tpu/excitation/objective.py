@@ -210,6 +210,17 @@ class TrajectoryObjective:
         dt_samp = float(self.times[1] - self.times[0])
 
         def raw(x, extra_shift):
+            # the whole chain (base projection Yf @ Pb, Gram power
+            # iteration, suspended-base integrator) must trace with
+            # true-f32 matmuls: the TPU MXU's default bf16 inputs bury
+            # the Gram's small eigenvalues in noise, corrupting -logdet
+            # and its gradient (measured round 5: kuka D-opt +82.7
+            # instead of -113 on TPU; engine dots were already guarded
+            # by dynamics.engine._full_precision, these were not)
+            with jax.default_matmul_precision("highest"):
+                return _raw_inner(x, extra_shift)
+
+        def _raw_inner(x, extra_shift):
             Q, V, A = fourier_traj(self.spec, x.astype(dt), times)
             if floating:
                 N = Q.shape[0]
@@ -367,7 +378,45 @@ class TrajectoryObjective:
             return f, g, n_obs
 
         self._evaluate = jax.jit(evaluate)
-        self._evaluate_batch = jax.jit(jax.vmap(evaluate, in_axes=(0, None, None)))
+        # candidate batches are CHUNKED through lax.map(vmap(...)): the
+        # regressor internals carry tiny trailing dims ((L,3,10) blocks)
+        # that TPU tiling pads 17-57x, so one full-population vmap OOMs
+        # HBM at kuka scale (measured: pop 64 x 4188 samples wanted
+        # 26.5 G of 15.75 G). A chunk of 8 keeps the padded live set
+        # ~600 MB with the same answer; populations are still evaluated
+        # in ONE dispatch (the map is a device-side loop). The guard is
+        # a TPU-tiling artifact: on CPU/GPU there is no (8,128)-lane
+        # padding, so chunking only adds pad-and-loop overhead — keep
+        # the full-width vmap there (a CPU-suite test regressed past
+        # its 60 s cap when chunked)
+        on_tpu = jax.default_backend() == "tpu"
+        chunk = max(int(self.config.get("evalBatchChunk", 8)), 1) \
+            if on_tpu else 10**9
+
+        def evaluate_batch(X, dopt_scale, extra_shift):
+            n = X.shape[0]
+            c = min(chunk, n)  # shapes are static under jit
+            n_pad = -(-n // c) * c
+            Xp = jnp.concatenate(
+                [X, jnp.broadcast_to(X[:1], (n_pad - n,) + X.shape[1:])]
+            ) if n_pad != n else X
+            Xc = Xp.reshape(n_pad // c, c, X.shape[1])
+            f, g, n_obs = jax.lax.map(
+                lambda Xi: jax.vmap(evaluate, in_axes=(0, None, None))(
+                    Xi, dopt_scale, extra_shift
+                ),
+                Xc,
+            )
+            return (f.reshape(n_pad)[:n],
+                    g.reshape(n_pad, -1)[:n],
+                    n_obs.reshape(n_pad)[:n])
+
+        self._evaluate_batch = jax.jit(evaluate_batch)
+        # full-width vmap retained for the sharded path (each device
+        # sees pop/shards candidates; sharding already bounds the live set)
+        self._evaluate_batch_vmap = jax.jit(
+            jax.vmap(evaluate, in_axes=(0, None, None))
+        )
 
         def penalized(x, dopt_scale, weight, extra_shift):
             f, g, _ = evaluate(x, dopt_scale, extra_shift)
@@ -431,6 +480,50 @@ class TrajectoryObjective:
             return x, vals[-1]
 
         self._al_run = jax.jit(al_run, static_argnames=("lr", "n_steps"))
+
+        # batched AL stage: K independent restarts advance as ONE
+        # dispatch (vmapped over candidate, per-candidate multipliers
+        # lam and penalty rho). Chunked through lax.map like
+        # evaluate_batch — the reverse-mode AL tape is even wider than
+        # the forward evaluate, so an unchunked vmap OOMs HBM first
+        def al_run_batch(X, lo, hi, dopt_scale, LAM, RHO, extra_shift,
+                         lr, n_steps, chunk):
+            def one(x, lam, rho):
+                return al_run(x, lo, hi, dopt_scale, lam, rho,
+                              extra_shift, lr, n_steps)[0]
+
+            n = X.shape[0]
+            n_pad = -(-n // chunk) * chunk
+            if n_pad != n:
+                padx = jnp.broadcast_to(X[:1], (n_pad - n,) + X.shape[1:])
+                padl = jnp.broadcast_to(LAM[:1], (n_pad - n,) + LAM.shape[1:])
+                padr = jnp.broadcast_to(RHO[:1], (n_pad - n,))
+                X = jnp.concatenate([X, padx])
+                LAM = jnp.concatenate([LAM, padl])
+                RHO = jnp.concatenate([RHO, padr])
+            k = n_pad // chunk
+            Xc = X.reshape(k, chunk, X.shape[1])
+            Lc = LAM.reshape(k, chunk, LAM.shape[1])
+            Rc = RHO.reshape(k, chunk)
+            Xo = jax.lax.map(
+                lambda t: jax.vmap(one)(t[0], t[1], t[2]), (Xc, Lc, Rc)
+            )
+            return Xo.reshape(n_pad, X.shape[1])[:n]
+
+        self._al_run_batch = jax.jit(
+            al_run_batch, static_argnames=("lr", "n_steps", "chunk")
+        )
+        # full-width vmap for the candidate-sharded path (each device
+        # holds K/shards tapes; the mesh bounds the live set)
+        self._al_run_batch_vmap = jax.jit(
+            lambda X, lo, hi, dopt_scale, LAM, RHO, extra_shift, lr, n_steps:
+            jax.vmap(
+                lambda x, lam, rho: al_run(
+                    x, lo, hi, dopt_scale, lam, rho, extra_shift, lr, n_steps
+                )[0]
+            )(X, LAM, RHO),
+            static_argnames=("lr", "n_steps"),
+        )
 
     # ------------------------------------------------------------------
     def set_extra_shift(self, shift) -> None:
@@ -504,7 +597,7 @@ class TrajectoryObjective:
                 (Xj,) = shard_batch(
                     self._cand_mesh, jnp.asarray(Xp, self.dtype), axis="candidates"
                 )
-                f, g, n_obs = self._evaluate_batch(
+                f, g, n_obs = self._evaluate_batch_vmap(
                     Xj, self.dopt_scale, self._shift_j
                 )
                 return (np.asarray(f)[:n], np.asarray(g)[:n],
@@ -547,6 +640,53 @@ class TrajectoryObjective:
             n_steps,
         )
         return np.asarray(xj), float(v)
+
+    def al_refine_batch(self, X, lo, hi, LAM, RHO, lr=0.01, n_steps=200):
+        """One augmented-Lagrangian Adam stage for K independent
+        restarts in a single dispatch (SURVEY §2.9: the reference runs
+        IPOPT restarts as sequential processes; here they are one
+        vmapped batch, device-sharded over the candidate mesh axis when
+        shardCandidates > 1)."""
+        X = jnp.asarray(X, self.dtype)
+        LAM = jnp.asarray(LAM, self.dtype)
+        RHO = jnp.asarray(RHO, self.dtype)
+        args = (
+            jnp.asarray(lo, self.dtype), jnp.asarray(hi, self.dtype),
+            self.dopt_scale, self._shift_j,
+        )
+        shards = int(self.config.get("shardCandidates", 0) or 0)
+        if shards > 1:
+            import jax as _jax
+
+            if len(_jax.devices()) >= shards:
+                from ..parallel.mesh import make_mesh, pad_to_multiple, shard_batch
+
+                if getattr(self, "_cand_mesh", None) is None:
+                    self._cand_mesh = make_mesh(shards, axis="candidates")
+                n = X.shape[0]
+                Xp, _ = pad_to_multiple(np.asarray(X), shards)
+                Lp, _ = pad_to_multiple(np.asarray(LAM), shards)
+                Rp, _ = pad_to_multiple(np.asarray(RHO), shards)
+                Xj, Lj, Rj = shard_batch(
+                    self._cand_mesh,
+                    jnp.asarray(Xp, self.dtype),
+                    jnp.asarray(Lp, self.dtype),
+                    jnp.asarray(Rp, self.dtype),
+                    axis="candidates",
+                )
+                Xo = self._al_run_batch_vmap(
+                    Xj, args[0], args[1], args[2], Lj, Rj, args[3],
+                    lr=lr, n_steps=n_steps,
+                )
+                return np.asarray(Xo)[:n]
+        # chunking is a TPU HBM guard (tile padding); full-width on CPU
+        chunk = max(int(self.config.get("alBatchChunk", 2)), 1) \
+            if jax.default_backend() == "tpu" else int(X.shape[0])
+        Xo = self._al_run_batch(
+            X, args[0], args[1], args[2], LAM, RHO, args[3],
+            lr=lr, n_steps=n_steps, chunk=chunk,
+        )
+        return np.asarray(Xo)
 
     def kinematics(self, x):
         """Sampled (Q, base_rot, base_pos) of a candidate — the same

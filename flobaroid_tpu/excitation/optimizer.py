@@ -311,6 +311,84 @@ def local_refine(
     return best_x, best_f, best_feas
 
 
+def local_refine_batch(obj, config, x0, rng=None, should_stop=None):
+    """K independent augmented-Lagrangian restarts refined as ONE
+    vmapped batch (localOptRestarts > 1): restart 0 starts at the
+    global-search winner, the others at box-scaled jitters of it, and
+    every AL stage advances ALL restarts in a single dispatch
+    (obj.al_refine_batch — device-sharded over the candidate mesh axis
+    when shardCandidates > 1). The reference runs IPOPT restarts as
+    sequential host processes (reference excitation/optimizer.py:
+    1138-1250); on TPU the restart axis is just one more batch axis.
+    Per-restart multipliers/penalties evolve independently on host.
+    Returns (best_x, best_f, best_feas) over all restarts."""
+    K = max(int(config.get("localOptRestarts", 1)), 1)
+    if K == 1:
+        return local_refine(obj, config, x0, should_stop=should_stop)
+    rng = rng or np.random.default_rng(
+        int(config.get("trajectoryOptSeed", 0)) + 1
+    )
+    spec = obj.spec
+    nd = spec.num_dofs
+    lo, hi = build_bounds(spec, config)
+    iters = max(int(config.get("localOptIterations", 10)), 1) * 40
+    stages = max(int(config.get("localOptStages", 6)), 1)
+    X = np.tile(np.clip(np.asarray(x0, float), lo, hi), (K, 1))
+    # restart diversity: an AMPLITUDE LADDER, not just jitter. When the
+    # global winner is infeasible-hot (over torque/velocity limits), a
+    # uniform amplitude backoff can overshoot into the min-velocity /
+    # min-torque-utilization floor — the feasible set is a band, and
+    # gradient descent from one knife-edge start reaches it only by
+    # luck (measured: the identical reduced-budget kuka run converged
+    # on CPU and stalled on TPU from 1e-4-level arithmetic differences).
+    # Restart k scales the Fourier coefficients by 0.85^(k//2), odd k
+    # adds a small box jitter; restart 0 is the unmodified start.
+    for k in range(1, K):
+        X[k, 1 + nd:] *= 0.85 ** (k // 2)
+        if k % 2:
+            X[k] += 0.03 * (hi - lo) * rng.standard_normal(spec.dim)
+    X = np.clip(X, lo, hi)
+
+    F, G, _ = obj.evaluate_batch(X)
+    best_X = X.copy()
+    best_F = np.full(K, np.inf)
+    best_feas = np.zeros(K, dtype=bool)
+    for k in range(K):
+        if obj.feasible(G[k]):
+            best_F[k], best_feas[k] = float(F[k]), True
+    LAM = np.zeros_like(G)
+    RHO = np.full(K, 10.0)
+    prev_viol = np.max(np.maximum(G, 0.0), axis=1)
+    for _s in range(stages):
+        if should_stop is not None and should_stop():
+            break
+        X = obj.al_refine_batch(X, lo, hi, LAM, RHO, lr=0.01, n_steps=iters)
+        X = np.clip(X, lo, hi)
+        F, G, _ = obj.evaluate_batch(X)
+        viol = np.max(np.maximum(G, 0.0), axis=1)
+        for k in range(K):
+            if obj.feasible(G[k]) and F[k] < best_F[k]:
+                best_X[k], best_F[k], best_feas[k] = X[k].copy(), float(F[k]), True
+        LAM = np.maximum(0.0, LAM + RHO[:, None] * np.asarray(G))
+        RHO = np.where(
+            viol > 0.25 * np.maximum(prev_viol, 1e-12),
+            np.minimum(RHO * 4.0, 1e6), RHO,
+        )
+        prev_viol = viol
+    if np.any(best_feas):
+        order = np.argsort(np.where(best_feas, best_F, np.inf))
+        k = int(order[0])
+        return best_X[k], float(best_F[k]), True
+    # no restart reached feasibility: amplitude-repair the least
+    # violating iterate (same last resort as the single-restart path)
+    k = int(np.argmin(prev_viol))
+    xr, ok = amplitude_repair(obj, X[k])
+    if ok:
+        f, g, _ = obj.evaluate(xr)
+        return xr, float(f), True
+    return X[k], float(F[k]), False
+
+
 def _mesh_backoff_refine(model, config, spec, obj, cm, ver, yty_prior,
                          x, bad, guard, info, n_trans, step_v):
     """Constraint-inflation recovery after a mesh-verification failure
@@ -480,7 +558,8 @@ def optimize_trajectory(model, config, yty_prior=None, seeds=None, rng=None):
             info["global_f"] = f
             info["global_feasible"] = feas
         if config.get("useLocalOptimization", 1) and not guard():
-            x, f, feas = local_refine(obj, config, x, should_stop=guard)
+            x, f, feas = local_refine_batch(obj, config, x, rng=rng,
+                                            should_stop=guard)
             info["local_f"] = f
             info["local_feasible"] = feas
         info["interrupted"] = guard()

@@ -1893,12 +1893,35 @@ class Model:
 
         chunk = int(self.opt.get("gramChunk", 4096))
 
-        @jax.jit
-        def gram_chunk(keys):
+        def chunk_gram(keys):
             Ys = jax.vmap(sample_gram)(keys)  # (C, rows, P)
             P = Ys.shape[-1]
             Yf = Ys.reshape(-1, P)
             return jnp.einsum("rp,rq->pq", Yf, Yf, precision=jax.lax.Precision.HIGHEST)
+
+        shards = int(opt.get("shardSamples", 0) or 0)
+        if shards > 1 and len(jax.devices()) >= shards:
+            # the cold-start hot loop (n_dofs*1000 random samples,
+            # SURVEY §3.1) sharded over the mesh: each device draws its
+            # slice of the chunk's keys and accumulates a partial Gram,
+            # psum over ICI — the SAME keys as the single-device path,
+            # so the result is bit-identical up to sum reassociation
+            from jax.sharding import PartitionSpec as _P
+
+            from .parallel.mesh import make_mesh
+
+            mesh = make_mesh(shards)
+            chunk = (-(-chunk // shards)) * shards
+
+            def local(keys):
+                return jax.lax.psum(chunk_gram(keys), "samples")
+
+            gram_chunk = jax.jit(jax.shard_map(
+                local, mesh=mesh,
+                in_specs=(_P("samples"),), out_specs=_P(),
+            ))
+        else:
+            gram_chunk = jax.jit(chunk_gram)
 
         G = np.zeros((self.num_identified_params, self.num_identified_params))
         key = jax.random.PRNGKey(0)

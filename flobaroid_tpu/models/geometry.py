@@ -57,6 +57,128 @@ def load_stl_triangles(path: str) -> tuple[np.ndarray, np.ndarray]:
     return v, tris
 
 
+def load_dae_mesh(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """Read a Collada (.dae) file and return (vertices (V,3),
+    triangles (T,3)). The reference loads DAE via trimesh/pycollada
+    (identification/collision.py:19-130, visualizer meshes); this is a
+    self-contained XML reader covering the subset robot description
+    packages use: <geometry>/<mesh> with <triangles> or <polylist>
+    primitives, POSITION sources, the <unit meter=...> scale and the
+    <up_axis> convention (Y_UP assets are rotated into the URDF's
+    Z-up frame). Node/scene transforms are ignored (robot meshes put
+    geometry in the file frame; URDF supplies the placement)."""
+    import xml.etree.ElementTree as ET
+
+    tree = ET.parse(path)
+    root = tree.getroot()
+    ns = ""
+    if root.tag.startswith("{"):
+        ns = root.tag[: root.tag.index("}") + 1]
+
+    def findall(el, tag):
+        return el.iter(ns + tag)
+
+    unit = 1.0
+    up = "Z_UP"
+    asset = root.find(ns + "asset")
+    if asset is not None:
+        u = asset.find(ns + "unit")
+        if u is not None and u.get("meter"):
+            unit = float(u.get("meter"))
+        ua = asset.find(ns + "up_axis")
+        if ua is not None and ua.text:
+            up = ua.text.strip()
+
+    # id -> float array for every <source>
+    sources: dict[str, np.ndarray] = {}
+    strides: dict[str, int] = {}
+    for src in findall(root, "source"):
+        fa = src.find(ns + "float_array")
+        if fa is None or not fa.text:
+            continue
+        arr = np.array(fa.text.split(), dtype=float)
+        sid = src.get("id")
+        stride = 3
+        acc = src.find(f"{ns}technique_common/{ns}accessor")
+        if acc is not None and acc.get("stride"):
+            stride = int(acc.get("stride"))
+        if sid:
+            sources["#" + sid] = arr
+            strides["#" + sid] = stride
+    # <vertices id> indirection: maps to its POSITION source
+    vert_map: dict[str, str] = {}
+    for vs in findall(root, "vertices"):
+        for inp in vs.findall(ns + "input"):
+            if inp.get("semantic") == "POSITION":
+                vid = vs.get("id")
+                if vid:
+                    vert_map["#" + vid] = inp.get("source")
+
+    all_v, all_t = [], []
+    base = 0
+    for prim_tag in ("triangles", "polylist"):
+        for prim in findall(root, prim_tag):
+            v_src = None
+            v_off = 0
+            n_inputs = 0
+            for inp in prim.findall(ns + "input"):
+                n_inputs = max(n_inputs, int(inp.get("offset", 0)) + 1)
+                if inp.get("semantic") == "VERTEX":
+                    v_src = vert_map.get(inp.get("source"), inp.get("source"))
+                    v_off = int(inp.get("offset", 0))
+            if v_src is None or v_src not in sources:
+                continue
+            stride = strides.get(v_src, 3)
+            verts = sources[v_src].reshape(-1, stride)[:, :3] * unit
+            p = prim.find(ns + "p")
+            if p is None or not p.text:
+                continue
+            idx = np.array(p.text.split(), dtype=np.int64)
+            vidx = idx.reshape(-1, max(n_inputs, 1))[:, v_off]
+            if prim_tag == "polylist":
+                vc = prim.find(ns + "vcount")
+                if vc is not None and vc.text:
+                    counts = np.array(vc.text.split(), dtype=np.int64)
+                    # fan-triangulate each polygon
+                    tris, pos = [], 0
+                    for c in counts:
+                        poly = vidx[pos : pos + c]
+                        for k in range(1, c - 1):
+                            tris.append([poly[0], poly[k], poly[k + 1]])
+                        pos += c
+                    tri = np.asarray(tris, dtype=np.int64)
+                else:
+                    tri = vidx.reshape(-1, 3)
+            else:
+                tri = vidx.reshape(-1, 3)
+            all_v.append(verts)
+            all_t.append(tri + base)
+            base += len(verts)
+    if not all_v:
+        raise ValueError(f"no triangle geometry found in DAE: {path}")
+    V = np.concatenate(all_v, axis=0)
+    T = np.concatenate(all_t, axis=0).astype(np.int32)
+    if up == "Y_UP":  # rotate +Y-up into +Z-up (x, y, z) -> (x, -z, y)
+        V = np.stack([V[:, 0], -V[:, 2], V[:, 1]], axis=1)
+    elif up == "X_UP":  # (x, y, z) -> (-z, y, x)
+        V = np.stack([-V[:, 2], V[:, 1], V[:, 0]], axis=1)
+    return np.ascontiguousarray(V, dtype=float), T
+
+
+def load_mesh_vertices(path: str) -> np.ndarray:
+    """Vertices of an STL or DAE mesh file (format by extension)."""
+    if path.lower().endswith(".dae"):
+        return load_dae_mesh(path)[0]
+    return load_stl_vertices(path)
+
+
+def load_mesh_triangles(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """(vertices, triangles) of an STL or DAE mesh file."""
+    if path.lower().endswith(".dae"):
+        return load_dae_mesh(path)
+    return load_stl_triangles(path)
+
+
 def resolve_mesh_path(filename: str, urdf_path: str | None, mesh_base_dir: str = "meshes") -> str | None:
     """Resolve package:// and relative mesh URIs next to the URDF
     (reference: helpers.URDFHelpers loading package paths)."""
@@ -134,7 +256,7 @@ def link_bounding_box(
             if path is None:
                 continue
             try:
-                v = load_stl_vertices(path)
+                v = load_mesh_vertices(path)
             except (ValueError, OSError):
                 continue
             if g.scale is not None:

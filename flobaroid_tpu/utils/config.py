@@ -26,6 +26,15 @@ DEFAULTS: dict[str, Any] = {
     "useLocalOptimization": 1,
     "localOptIterations": 10,
     "localOptStages": 6,
+    # independent AL restarts advanced as one vmapped batch (sharded
+    # over the candidate mesh axis when shardCandidates > 1); 1 keeps
+    # the classic single-start refinement
+    "localOptRestarts": 1,
+    # HBM guards: candidate-batch chunk for the vmapped objective /
+    # AL tape (TPU tile padding inflates the tiny trailing regressor
+    # dims 17-57x, so full-population vmaps OOM at scale)
+    "evalBatchChunk": 8,
+    "alBatchChunk": 2,
     "minTolConstr": 0.01,
     # display/interactive toggles accepted for reference-config compat;
     # headless no-ops here (reports are written as files instead)

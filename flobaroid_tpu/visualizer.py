@@ -50,7 +50,7 @@ class Visualizer:
         # per link drawn as Poly3DCollections)
         self.link_meshes: dict[int, list[tuple[np.ndarray, np.ndarray, np.ndarray]]] = {}
         if draw_meshes:
-            from .models.geometry import load_stl_vertices, resolve_mesh_path
+            from .models.geometry import load_mesh_vertices, resolve_mesh_path
             from .models.urdf import rpy_to_matrix
 
             for li, link in enumerate(tree.links):
@@ -62,7 +62,7 @@ class Visualizer:
                     if path is None:
                         continue
                     try:
-                        verts = load_stl_vertices(path)
+                        verts = load_mesh_vertices(path)
                     except (OSError, ValueError):
                         continue
                     tris = verts.reshape(-1, 3, 3)

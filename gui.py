@@ -5,7 +5,10 @@ stages with file pickers, streaming output and state persistence.
 Counterpart of the reference's gui.py (CustomTkinter app, :448-887)
 using the standard-library tkinter: per-stage run buttons plus a full
 pipeline runner, ANSI-stripped streaming subprocess output, UI state
-persisted to .gui_state.json, graceful cancel."""
+persisted to .gui_state.json, graceful cancel, stdin passthrough to the
+running stage (interactive prompts like the simulator's overwrite
+guard, reference gui.py:123-152) and system sleep inhibition while a
+stage runs (caffeinate / systemd-inhibit, reference gui.py:72-90)."""
 
 from __future__ import annotations
 
@@ -13,12 +16,27 @@ import json
 import os
 import queue
 import re
+import shutil
 import subprocess
 import sys
 import threading
 
 STATE_FILE = ".gui_state.json"
 ANSI_RE = re.compile(r"\x1b\[[0-9;]*m")
+
+
+def sleep_inhibit_prefix() -> list[str]:
+    """Command prefix that keeps the machine awake for the duration of
+    the wrapped stage: caffeinate on macOS, systemd-inhibit on Linux
+    (reference gui.py:72-90). Empty when neither tool exists."""
+    if sys.platform == "darwin" and shutil.which("caffeinate"):
+        return ["caffeinate", "-dims"]
+    if shutil.which("systemd-inhibit"):
+        return [
+            "systemd-inhibit", "--what=idle:sleep",
+            "--why=flobaroid pipeline stage running",
+        ]
+    return []
 
 
 class PipelineGUI:
@@ -69,6 +87,14 @@ class PipelineGUI:
             tk.Button(self.root, text=label, command=cmd).grid(row=row, column=0 if c == 0 else 1, sticky="w" if c else "e", pady=6)
         self.out = scrolledtext.ScrolledText(self.root, width=100, height=28, font=("monospace", 9))
         self.out.grid(row=row + 1, column=0, columnspan=3, padx=4, pady=4)
+        # stdin passthrough: typed text + Enter goes to the running
+        # stage (interactive prompts, reference gui.py:123-152)
+        tk.Label(self.root, text="stdin >").grid(row=row + 2, column=0, sticky="w", padx=4)
+        self.stdin_var = tk.StringVar()
+        stdin_entry = tk.Entry(self.root, textvariable=self.stdin_var, width=60)
+        stdin_entry.grid(row=row + 2, column=1, sticky="w", padx=4, pady=2)
+        stdin_entry.bind("<Return>", lambda _e: self.send_stdin())
+        tk.Button(self.root, text="Send", command=self.send_stdin).grid(row=row + 2, column=2)
         self.proc = None
         self.q: queue.Queue = queue.Queue()
         self.root.after(100, self._drain)
@@ -92,11 +118,13 @@ class PipelineGUI:
             self._log("\n[another stage is running]\n")
             return
         self._save_state()
+        argv = sleep_inhibit_prefix() + argv
         self._log(f"\n$ {' '.join(argv)}\n")
 
         def worker():
             self.proc = subprocess.Popen(
-                argv, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True
+                argv, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT, text=True
             )
             for line in self.proc.stdout:
                 self.q.put(line)
@@ -163,6 +191,22 @@ class PipelineGUI:
 
     def run_all(self):
         self.run_trajectory(then=lambda: self.run_simulate(then=self.run_identify))
+
+    def send_stdin(self):
+        """Forward the stdin entry's text (+ newline) to the running
+        stage (reference gui.py:123-152)."""
+        p = self.proc
+        text = self.stdin_var.get()
+        if p is None or p.stdin is None:
+            self._log("\n[no stage running to receive stdin]\n")
+            return
+        try:
+            p.stdin.write(text + "\n")
+            p.stdin.flush()
+            self._log(f"> {text}\n")
+            self.stdin_var.set("")
+        except (BrokenPipeError, OSError):
+            self._log("\n[stage stdin closed]\n")
 
     def cancel(self):
         if self.proc is not None:

@@ -142,6 +142,7 @@ def test_per_joint_targets_improve_friction_identifiability():
     assert np.mean(ratios) < 0.75, f"mean improvement too small: {ratios}"
 
 
+@pytest.mark.timeout(300)
 def test_per_joint_targets_improve_measured_fv_recovery():
     """MEASURED end-to-end recovery (VERDICT r2 #5's literal ask), not
     just the predicted bound: simulate noisy torques from a known
