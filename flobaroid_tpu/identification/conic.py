@@ -460,9 +460,23 @@ class QuadBarrierSolver:
         max_newton: int = 60,
         max_outer: int = 14,
         stop_fn=None,
+        warm_start: bool = True,
     ):
         """Path following for f(x) = 0.5 x'Hx + q'x + const from a
-        strictly feasible x0. Returns (x, status)."""
+        strictly feasible x0. Returns (x, status).
+
+        Warm start (sequential identification): a previous solve on this
+        structure leaves (x_last, t_last); since the constraint data are
+        FIXED per solver instance, x_last stays strictly feasible for
+        every later (H, q). One polish centering at the last rung from
+        x_last replaces the whole ladder when its Newton decrement
+        certifies the quadratic zone for the CURRENT objective
+        (lam < 0.25 measured against the current H, q — a stale warm
+        point from very different data fails the test and falls back to
+        the cold ladder). This is the production path for repeated
+        identifications (block-selection loops, CAD sweeps, essential
+        passes) where (H, q) moves little between solves; the KKT
+        certificate is re-derived each time, never reused."""
         with jax.enable_x64(True), jax.default_device(self._cpu):
             x = jnp.asarray(x0, jnp.float64)
             nu = self._nu_val
@@ -508,6 +522,54 @@ class QuadBarrierSolver:
             t_cert_target = nu / (1e-4 * f0_scale)
             it_c = 0
             cert = _CertTracker(nu, f0_scale, x, t)
+
+            # stop_fn callers (phase-I, early-exit probes) poll the
+            # iterate between stages; the warm fast path would bypass
+            # that contract, so it only serves plain solves
+            warm = getattr(self, "_warm", None) if stop_fn is None else None
+            if warm_start and warm is not None:
+                xw = jnp.asarray(warm[0], jnp.float64)
+                tw = float(warm[1])
+                if np.isfinite(float(self._psi(xw, tw, Hj, qj))):
+                    _t0 = _time.time()
+                    # small budget: a warm point near the current optimum
+                    # certifies in a few steps; a stale one (different
+                    # objective) must fail FAST and take the cold ladder
+                    xh, ith, dech, okh = self._newton_run(
+                        xw, tw, Hj, qj, newton_tol, min(max_newton, 12), 0.95
+                    )
+                    lam_w = float(np.sqrt(max(float(dech), 0.0)))
+                    if dbg:
+                        print(f"  warm polish t={tw:.3g} "
+                              f"newton_iters={int(ith)} lam={lam_w:.3g} "
+                              f"{_time.time()-_t0:.3f}s")
+                    if bool(okh) and lam_w < 0.25:
+                        # quadratic zone at the last rung for the CURRENT
+                        # objective: the ladder is unnecessary
+                        x, t, it = xh, tw, ith
+                        cert.offer(x, dech, t)
+                        f_hi = float(0.5 * x @ (Hj @ x) + qj @ x)
+                        x_cert, lam_cert, t_cert = cert.x, cert.lam, cert.t
+                        viol = float(self._feas_slack(x))
+                        gap, cert_gap, status = _certificate_status(
+                            nu, t, t_cert, lam_cert, f0_scale
+                        )
+                        self.last_info = {
+                            "gap": float(gap * obj_scale),
+                            "gap_rel": float(gap / f0_scale),
+                            "cert_gap_rel": float(cert_gap / f0_scale),
+                            "cert_t": float(t_cert),
+                            "newton_lambda": lam_cert,
+                            "max_violation": viol,
+                            "barrier_t": float(t),
+                            "polish_iters": int(it),
+                            "certify_iters": 0,
+                            "warm_start": True,
+                            "status": status,
+                        }
+                        self._warm = (np.asarray(x), float(t))
+                        return np.asarray(x), status
+                    # stale warm point: full cold ladder from x0
 
             for _outer in range(max_outer):
                 if nu / t < gap_tol * f0_scale:
@@ -570,6 +632,8 @@ class QuadBarrierSolver:
                 "certify_iters": int(it_c),
                 "status": status,
             }
+            if status == "optimal":
+                self._warm = (np.asarray(x_ret), float(t))
             return np.asarray(x_ret), status
 
     # ------------------------------------------------------------------

@@ -920,10 +920,13 @@ class Model:
                     jnp.zeros(rows, dt0),
                     jnp.zeros(K, dt0),
                 )
-                out, _ = jax.lax.scan(
+                (rp, pp, tp, bn), _ = jax.lax.scan(
                     step, init, (Ystack, taus, cfs, jnp.arange(n_chunks))
                 )
-                return out
+                # ONE flat host-bound buffer = ONE relay fetch (four
+                # separate np.asarray fetches cost ~20 ms each through
+                # the relay — measured 0.18 s of a 0.66 s warm identify)
+                return jnp.concatenate([rp.ravel(), pp.ravel(), tp, bn])
 
             def contract_scan(stacks, xs):
                 """tau_hat chunks for K parameter vectors in ONE dispatch:
@@ -1092,7 +1095,69 @@ class Model:
                 ])
                 return G, g, gcf, Ystack, cf_stack, tau_stack, packed
 
+            def walk_scan_cached(Ys, cfs, torqs, n_valid, x_ap):
+                """Same aggregates as walk_scan from the PREVIOUS pass's
+                device-resident Y and contact chunks: repeat identifies
+                of byte-identical kinematics + wrenches (bench warm
+                loop, block-selection score+estimate, essential/CAD
+                sweeps) skip the regressor build and the contact-frame
+                FK — the pass becomes Gram einsums + residual stats."""
+                n_chunks, chunk = torqs.shape[0], torqs.shape[1]
+                rows = torqs.shape[-1]
+
+                def step(carry, xs):
+                    G, g, gcf, tsq, tcf, csq, rp, pp, bn, k = carry
+                    Y, cf, torq = xs
+                    tau = torq
+                    if add_cf_base:
+                        tau = tau.at[:, :6].add(cf[:, :6])
+                    valid = (k * chunk + jnp.arange(chunk)) < n_valid
+                    mask = jnp.broadcast_to(
+                        valid.astype(tau.dtype)[:, None], tau.shape
+                    )
+                    Gc, gc, gcfc = gram_from_Y(Y, tau, cf, mask)
+                    tsq = tsq + jnp.sum(mask * tau * tau, axis=0)
+                    tcf = tcf + jnp.sum(mask * tau * cf, axis=0)
+                    csq = csq + jnp.sum(mask * cf * cf, axis=0)
+                    pred = (jnp.einsum(
+                        "nrp,p->nr", Y, x_ap,
+                        precision=jax.lax.Precision.HIGHEST) + cf)
+                    r = (tau - pred) * mask
+                    p = pred * mask
+                    rp = rp + jnp.sum(r * r, axis=0)
+                    pp = pp + jnp.sum(p * p, axis=0)
+                    bn = bn + jnp.sum(jnp.sqrt(jnp.sum(r * r, axis=1)))
+                    return (G + Gc, g + gc, gcf + gcfc, tsq, tcf, csq,
+                            rp, pp, bn, k + 1), tau
+
+                P = Ys.shape[-1]
+                dt0 = Ys.dtype
+                init = (
+                    jnp.zeros((rows, P, P), dt0),
+                    jnp.zeros((rows, P), dt0),
+                    jnp.zeros((rows, P), dt0),
+                    jnp.zeros((rows,), dt0),
+                    jnp.zeros((rows,), dt0),
+                    jnp.zeros((rows,), dt0),
+                    jnp.zeros((rows,), dt0),
+                    jnp.zeros((rows,), dt0),
+                    jnp.zeros((), dt0),
+                    jnp.zeros((), jnp.int32),
+                )
+                ((G, g, gcf, tsq, tcf, csq, rp, pp, bn, _),
+                 tau_stack) = jax.lax.scan(step, init, (Ys, cfs, torqs))
+                Gs = jnp.sum(G, axis=0)
+                gt = jnp.sum(g, axis=0)
+                gc = jnp.sum(gcf, axis=0)
+                cf6 = cfs[:, :, :6].reshape(-1, 6)
+                packed = jnp.concatenate([
+                    Gs.ravel(), gt, gc, tsq, tcf, csq, rp, pp,
+                    jnp.reshape(bn, (1,)), cf6.ravel(),
+                ])
+                return G, g, gcf, tau_stack, packed
+
             self._regr_jit_cache[key] = jax.jit(walk_scan)
+            self._regr_jit_cache[key + ("cached",)] = jax.jit(walk_scan_cached)
         fn = self._regr_jit_cache[key]
         dt = self._compute_dtype()
         _t = self._p0()
@@ -1105,10 +1170,28 @@ class Model:
             staged["stackc"], extra_key=sk)
         x_ap = np.asarray(self.xStdModel[self.identified_params],
                           dtype=float)
-        (G, g, gcf, Ystack, cf_stack, tau_stack, packed) = fn(
-            staged["stacks"], Ws, torqs, jnp.asarray(staged["N"], dt),
-            jnp.asarray(x_ap, dt),
-        )
+        # Y/cf chunk reuse across byte-identical passes: the staging
+        # memo fingerprint pins the kinematic state, the wrench staging
+        # fingerprint pins W, and `key` pins the compiled layout. Torques
+        # stay an argument (they differ across sim/measured passes).
+        memo = getattr(self, "_staged_memo", None)
+        wfp = (memo[0] if memo is not None else None,
+               self._put_cache["wrench"][0], key)
+        wcache = getattr(self, "_walk_cache", None)
+        if (wcache is not None and wfp[0] is not None
+                and wcache[0] == wfp):
+            Ystack, cf_stack = wcache[1], wcache[2]
+            (G, g, gcf, tau_stack, packed) = self._regr_jit_cache[
+                key + ("cached",)
+            ](Ystack, cf_stack, torqs, jnp.asarray(staged["N"], dt),
+              jnp.asarray(x_ap, dt))
+        else:
+            (G, g, gcf, Ystack, cf_stack, tau_stack, packed) = fn(
+                staged["stacks"], Ws, torqs, jnp.asarray(staged["N"], dt),
+                jnp.asarray(x_ap, dt),
+            )
+            if wfp[0] is not None:
+                self._walk_cache = (wfp, Ystack, cf_stack)
         flat = np.asarray(packed, dtype=float)  # the single relay fetch
         P = self.num_identified_params
         rows = self.num_dofs + self.fb
@@ -1575,13 +1658,17 @@ class Model:
                                       staged["vsig_same"])
             _t = self._p0()
             xj = jnp.asarray(np.stack(missing), dt)
-            rp, pp, tp, bn = fns["resid_scan"](
+            packed = fns["resid_scan"](
                 Yst, xj, staged["taum_stack"], staged["cfm_stack"],
                 jnp.asarray(N, dt),
             )
-            self._pmark("residual_stats", _t, sync=(rp, pp, tp, bn))
-            rp, pp, bn = (np.asarray(a, dtype=float) for a in (rp, pp, bn))
-            tp = np.asarray(tp, dtype=float)
+            flat = np.asarray(packed, dtype=float)  # single relay fetch
+            self._pmark("residual_stats", _t)
+            K = len(missing)
+            rp = flat[: K * rows].reshape(K, rows)
+            pp = flat[K * rows : 2 * K * rows].reshape(K, rows)
+            tp = flat[2 * K * rows : 2 * K * rows + rows]
+            bn = flat[2 * K * rows + rows :]
             for i, x in enumerate(missing):
                 cache[x.tobytes()] = dict(
                     rp=rp[i], pp=pp[i], tp=tp, bn=float(bn[i])
