@@ -168,25 +168,42 @@ def run_cad_study(
 
     modes = modes if modes is not None else MODE_OVERRIDES
     results: dict[str, dict] = {}
+    # ONE Identification serves all modes: the modes differ only in the
+    # SDP regularization objective (cadRegularizationMode /
+    # geometricObservabilityWeighting), which initSDP_LMIs re-reads from
+    # the live opt dict each estimateParameters — the Model, its
+    # structural QR, the staged device inputs and the accumulated Grams
+    # are mode-independent and were previously rebuilt 4x (the study
+    # was ~70 s of every bench run; VERDICT r4 weak #5)
+    idf = None
+    mode_keys = {k for mo in modes.values() for k in mo}
     for mode, mo in modes.items():
-        opt = load_config(None, overrides=dict(
-            floatingBase=1,
-            identifyFrictionSimultaneously=1, identifySymmetricVelFriction=1,
-            useStructuralRegressor=1, randomSamples=2000,
-            materializeRegressor=0, estimateWith="std",
-            constrainToConsistent=1,
-            useRegressorRegularization=1,
-            limitOverallMass=1, limitMassRange=5.0,
-            limitMassToApriori=1, limitMassAprioriBoundary=0.5,
-            limitCOMToApriori=1, limitCOMAprioriBoundary=0.5,
-            verbose=1 if verbose else 0,
-        ))
-        if base_overrides:
-            opt.update(base_overrides)
-        opt.update(mo)
-        idf = Identification(dict(opt), cad_urdf, urdf_file_real=real_urdf)
-        idf.data.init_from_files([[measurements_npz]])
-        idf.data.preprocess(imu=False)
+        if idf is None:
+            opt = load_config(None, overrides=dict(
+                floatingBase=1,
+                identifyFrictionSimultaneously=1,
+                identifySymmetricVelFriction=1,
+                useStructuralRegressor=1, randomSamples=2000,
+                materializeRegressor=0, estimateWith="std",
+                constrainToConsistent=1,
+                useRegressorRegularization=1,
+                limitOverallMass=1, limitMassRange=5.0,
+                limitMassToApriori=1, limitMassAprioriBoundary=0.5,
+                limitCOMToApriori=1, limitCOMAprioriBoundary=0.5,
+                verbose=1 if verbose else 0,
+            ))
+            if base_overrides:
+                opt.update(base_overrides)
+            opt.update(mo)
+            idf = Identification(dict(opt), cad_urdf,
+                                 urdf_file_real=real_urdf)
+            idf.data.init_from_files([[measurements_npz]])
+            idf.data.preprocess(imu=False)
+        else:
+            # reset every mode-specific key (absent = its default)
+            for k in mode_keys:
+                idf.opt.pop(k, None)
+            idf.opt.update(mo)
         idf.estimateParameters()
         m = idf.model
         base_dist = float(np.linalg.norm(m.xBase - idf.xBaseReal))

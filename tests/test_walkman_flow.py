@@ -66,7 +66,9 @@ def flow(tmp_path_factory):
     )
     x = initial_candidate(spec, dict(opt, trajectoryCoeffInit=0.25), rng)
     x[0] = 1.3  # pulse wf within the walkman band
-    freq, periods = 50.0, 3
+    # >= 2 * ~430 identified params of train samples after the 2/3
+    # split: 8 periods at ~241 samples each -> ~1285 train rows
+    freq, periods = 50.0, 8
     times = np.arange(int(2 * np.pi / x[0] * freq) * periods) / freq
     Q, V, A = (np.asarray(a) for a in
                fourier_traj(spec, jnp.asarray(x, jnp.float64), times))
@@ -97,7 +99,6 @@ def flow(tmp_path_factory):
     return dict(urdf=urdf, train=train_npz, val=val_npz)
 
 
-@pytest.mark.slow
 @pytest.mark.timeout(1800)
 def test_walkman_suspended_flow_recovers_parameters(flow):
     from flobaroid_tpu.identification.identifier import Identification
