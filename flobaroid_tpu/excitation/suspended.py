@@ -128,6 +128,60 @@ class SuspendedSimulator:
         f, n_O = out[:3], out[3:6]
         return n_O - jnp.cross(p_a, f)
 
+    def _locked_attachment_inertia(self, q, R_wr, pw, p_a):
+        """Closed-form alpha-response matrix A: the moment about the
+        attachment is AFFINE in the attachment angular acceleration
+        (n(alpha) = n0 + A alpha with q, dq, ddq held fixed — a unit
+        alpha rigidly accelerates the WHOLE mechanism about the
+        attachment point), so A is the composite rigid-body angular
+        inertia about the attachment:
+            A = I_tot(O) + p h^T + h p^T - 2 (h.p) E - m_tot (p p^T - |p|^2 E)
+        with (m_tot, h, I_tot) the total mass / first moment / rotational
+        inertia at the WORLD ORIGIN and p = p_a. Replaces three full
+        unit-alpha RNEA sweeps per integration step (the AL refinement
+        backprops through every step; the RNEA tape was ~3/4 of the
+        integrator's cost). Parity with the RNEA construction is
+        asserted in tests/test_suspended.py."""
+        eng = self.engine
+        dt_ = q.dtype
+        P = self.pi.astype(dt_).reshape(-1, 10)
+        m = P[:, 0]
+        h_l = P[:, 1:4]
+        ixx, ixy, ixz, iyy, iyz, izz = (P[:, 4 + k] for k in range(6))
+        I_l = jnp.stack([
+            jnp.stack([ixx, ixy, ixz], -1),
+            jnp.stack([ixy, iyy, iyz], -1),
+            jnp.stack([ixz, iyz, izz], -1),
+        ], -2)  # (L, 3, 3) about the link frame
+        Rb, _ = eng.fk(q)
+        Rw = jnp.einsum("ij,ljk->lik", R_wr, Rb)
+        Iw = jnp.einsum("lab,lbc,ldc->lad", Rw, I_l, Rw)
+        hw = jnp.einsum("lab,lb->la", Rw, h_l)  # first moment about o_l
+        o = pw
+        E = jnp.eye(3, dtype=dt_)
+        # translate each link's rotational inertia from its origin o_l
+        # to the world origin: I_O = I_o + (h.d + d.h) E - d h^T - h d^T
+        # + m (|d|^2 E - d d^T), d = o_l  (S(a)S(b)^T = (a.b)E - b a^T)
+        hd = jnp.einsum("la,la->l", hw, o)
+        dd = jnp.einsum("la,la->l", o, o)
+        I_O = (
+            Iw
+            + (2.0 * hd + m * dd)[:, None, None] * E
+            - jnp.einsum("la,lb->lab", o, hw)
+            - jnp.einsum("la,lb->lab", hw, o)
+            - m[:, None, None] * jnp.einsum("la,lb->lab", o, o)
+        )
+        I_tot = jnp.sum(I_O, axis=0)
+        h_tot = jnp.sum(hw + m[:, None] * o, axis=0)
+        m_tot = jnp.sum(m)
+        p = p_a
+        hp = h_tot @ p
+        return (
+            I_tot
+            + jnp.outer(p, h_tot) + jnp.outer(h_tot, p) - 2.0 * hp * E
+            - m_tot * (jnp.outer(p, p) - (p @ p) * E)
+        )
+
     def _step_dynamics(self, q, dq, ddq, att_rpy, att_omega, dt):
         """Solve (A + c*dt*I) alpha = -n0 - c*omega (implicit damping)."""
         R_wr, pw, p_a, s, mask, v_r = self._root_state(q, att_rpy, att_omega, dq)
@@ -135,11 +189,7 @@ class SuspendedSimulator:
             q, dq, ddq, R_wr, v_r, p_a, jnp.zeros(3, q.dtype), s, mask
         )
         eye = jnp.eye(3, dtype=q.dtype)
-        cols = jax.vmap(
-            lambda e: self._moment_about_attachment(q, dq, ddq, R_wr, v_r, p_a, e, s, mask)
-            - n0
-        )(eye)
-        A = cols.T
+        A = self._locked_attachment_inertia(q, R_wr, pw, p_a)
         c = self.damping
         alpha = jnp.linalg.solve(A + c * dt * eye, -n0 - c * att_omega)
         return alpha, R_wr, pw, p_a, s, mask, v_r

@@ -145,6 +145,44 @@ def test_suspended_pendulum_period():
     assert abs(period - T_analytic) / T_analytic < 0.1, (period, T_analytic)
 
 
+def test_suspended_locked_inertia_matches_rnea():
+    """The closed-form alpha-response matrix (composite rigid-body
+    inertia about the attachment, round 5) must equal the three
+    unit-alpha RNEA sweeps it replaced, at random states."""
+    import jax
+    import jax.numpy as jnp
+
+    from flobaroid_tpu.excitation.suspended import SuspendedSimulator
+
+    tree = load_urdf(PENDULUM_URDF)
+    sim = SuspendedSimulator(tree, "hook", base_link="body", damping=5.0)
+    rng = np.random.default_rng(0)
+    for _ in range(4):
+        q = jnp.asarray(rng.uniform(-1.0, 1.0, tree.num_dofs))
+        dq = jnp.asarray(rng.uniform(-2.0, 2.0, tree.num_dofs))
+        ddq = jnp.asarray(rng.uniform(-5.0, 5.0, tree.num_dofs))
+        att_rpy = jnp.asarray(rng.uniform(-0.3, 0.3, 3))
+        att_omega = jnp.asarray(rng.uniform(-1.0, 1.0, 3))
+        R_wr, pw, p_a, s, mask, v_r = sim._root_state(
+            q, att_rpy, att_omega, dq
+        )
+        n0 = sim._moment_about_attachment(
+            q, dq, ddq, R_wr, v_r, p_a, jnp.zeros(3, q.dtype), s, mask
+        )
+        cols = jax.vmap(
+            lambda e: sim._moment_about_attachment(
+                q, dq, ddq, R_wr, v_r, p_a, e, s, mask
+            ) - n0
+        )(jnp.eye(3, dtype=q.dtype))
+        A_rnea = np.asarray(cols.T)
+        A_closed = np.asarray(
+            sim._locked_attachment_inertia(q, R_wr, pw, p_a)
+        )
+        np.testing.assert_allclose(
+            A_closed, A_rnea, rtol=1e-8, atol=1e-10 * np.abs(A_rnea).max()
+        )
+
+
 def test_suspended_equilibrium_static():
     """Starting at equilibrium with static joints, the base barely moves
     (mirrors reference tests/test_suspended.py:36-60)."""
